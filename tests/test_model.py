@@ -1,0 +1,86 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vic_tpu.config import GlobalParams
+from vic_tpu.model import make_forcing_stack, make_step, run
+from vic_tpu.prepare import prepare_domain
+from vic_tpu.state import initial_state
+from vic_tpu.testing import synthetic_domain, synthetic_forcing
+from vic_tpu.timeaxis import make_time_axis
+
+
+def build(n_cell=4, n_rec=30, **gp_kw):
+    gp = GlobalParams(dt=24, nlayer=3, startyear=1995, startmonth=1,
+                      startday=1, nrecs=n_rec, **gp_kw)
+    domain = synthetic_domain(n_cell=n_cell,
+                              with_glacier=gp_kw.get("glacier_id", -1) > 0)
+    params = prepare_domain(domain, gp)
+    ax = make_time_axis(1995, 1, 1, 0, n_rec, 24)
+    forc = synthetic_forcing(n_rec, n_cell)
+    stack = make_forcing_stack(forc, ax)
+    state = initial_state(domain, gp)
+    return gp, domain, params, stack, state
+
+
+class TestWaterBalanceMode:
+    def test_step_runs_and_is_finite(self):
+        gp, domain, params, stack, state = build()
+        step = make_step(params, gp)
+        forc0 = jax.tree_util.tree_map(lambda a: a[0], stack)
+        new_state, out = jax.jit(step)(state, forc0)
+        for name, v in out._asdict().items():
+            assert bool(jnp.isfinite(v).all()), f"{name} not finite"
+        assert bool(jnp.isfinite(new_state.moist).all())
+
+    def test_scan_runs(self):
+        gp, domain, params, stack, state = build(n_rec=60)
+        final_state, outs = jax.jit(
+            lambda s, f: run(s, f, params, gp))(state, stack)
+        assert outs.evap.shape == (60, 4)
+        assert bool(jnp.isfinite(outs.runoff).all())
+        # some water must move over 60 days of forcing
+        assert float(outs.prec.sum()) > 0
+        assert float(outs.runoff.sum() + outs.baseflow.sum()) > 0
+
+    def test_water_balance_closure(self):
+        gp, domain, params, stack, state = build(n_rec=90)
+        _, outs = jax.jit(lambda s, f: run(s, f, params, gp))(state, stack)
+        # per-step closure residual should be tiny relative to precip
+        max_err = float(jnp.abs(outs.water_error).max())
+        assert max_err < 0.01, f"water balance error {max_err} mm/step"
+
+    def test_snow_accumulates_in_winter(self):
+        gp, domain, params, stack, state = build(n_rec=60)
+        _, outs = jax.jit(lambda s, f: run(s, f, params, gp))(state, stack)
+        # Jan/Feb at 51N with lapsed temps: some SWE must appear
+        assert float(outs.swe.max()) > 0
+
+    def test_soil_moisture_bounded(self):
+        gp, domain, params, stack, state = build(n_rec=90)
+        fs, outs = jax.jit(lambda s, f: run(s, f, params, gp))(state, stack)
+        mx = jnp.asarray(domain.soil.max_moist)[:, None, :]
+        assert bool((fs.moist <= mx * 1.001).all())
+        assert bool((fs.moist >= -1e-5).all())
+
+
+class TestFullEnergyMode:
+    def test_full_energy_step(self):
+        gp, domain, params, stack, state = build(n_rec=10, full_energy=True)
+        final_state, outs = jax.jit(
+            lambda s, f: run(s, f, params, gp))(state, stack)
+        assert bool(jnp.isfinite(outs.surf_temp).all())
+        # surface temp should track air temp within tens of degrees
+        assert float(jnp.abs(outs.surf_temp).max()) < 60.0
+
+
+class TestGlacierMode:
+    def test_glacier_hru(self):
+        gp, domain, params, stack, state = build(
+            n_rec=40, glacier_id=99, full_energy=True)
+        assert bool(params.is_glacier.any())
+        final_state, outs = jax.jit(
+            lambda s, f: run(s, f, params, gp))(state, stack)
+        assert bool(jnp.isfinite(outs.glac_melt).all())
+        assert bool(jnp.isfinite(outs.glac_outflow).all())

@@ -1,0 +1,261 @@
+"""ctypes binding for the native vicio library (vic_tpu/native/vicio.cpp).
+
+Provides:
+- `NetCDFFile` — minimal-but-real NetCDF4 create/read/write via the system
+  libnetcdf (the reference's WriteOutputNetCDF.c / StateIONetCDF.c engine
+  equivalent, driven from Python but with all byte work native);
+- `read_ascii_table` — fast whitespace-double table parser (forcing/soil/veg);
+- `read_vic_binary` — the reference's int16+multiplier binary forcing format
+  (read_atmos_data.c BINARY path).
+
+Falls back gracefully: `available()` is False when the shared library cannot
+be built (callers then use scipy-netcdf3/numpy paths).
+"""
+from __future__ import annotations
+
+import ctypes as ct
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+_lib = None
+_tried = False
+
+NC_INT, NC_FLOAT, NC_DOUBLE = 4, 5, 6
+_DTYPE_TO_NC = {np.dtype(np.int32): NC_INT, np.dtype(np.float32): NC_FLOAT,
+                np.dtype(np.float64): NC_DOUBLE}
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    from ..native.build import build
+    path = build()
+    if path is None:
+        return None
+    lib = ct.CDLL(path)
+    lib.vicio_nc_strerror.restype = ct.c_char_p
+    lib.vicio_read_ascii_table.restype = ct.c_longlong
+    lib.vicio_read_vic_binary.restype = ct.c_longlong
+    lib.vicio_write_doubles.restype = ct.c_longlong
+    lib.vicio_read_doubles.restype = ct.c_longlong
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _check(err: int):
+    if err != 0:
+        msg = _lib.vicio_nc_strerror(err).decode()
+        raise OSError(f"netcdf error {err}: {msg}")
+
+
+def _ll_array(vals: Sequence[int]):
+    return (ct.c_longlong * len(vals))(*[int(v) for v in vals])
+
+
+class NetCDFFile:
+    """NetCDF4 file handle over the native library."""
+
+    def __init__(self, path: str, mode: str = "r", netcdf4: bool = True):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native vicio library unavailable")
+        self._lib = lib
+        ncid = ct.c_int()
+        if mode == "w":
+            _check(lib.vicio_nc_create(path.encode(), int(netcdf4),
+                                       ct.byref(ncid)))
+            self._defining = True
+        else:
+            _check(lib.vicio_nc_open(path.encode(), int(mode == "a"),
+                                     ct.byref(ncid)))
+            self._defining = False
+        self.ncid = ncid.value
+        self.path = path
+        self._dims = {}
+        self._vars = {}
+        self._closed = False
+
+    # ---- definition ----
+    def def_dim(self, name: str, length: Optional[int]) -> int:
+        did = ct.c_int()
+        _check(self._lib.vicio_nc_def_dim(
+            self.ncid, name.encode(),
+            ct.c_longlong(-1 if length is None else length), ct.byref(did)))
+        self._dims[name] = did.value
+        return did.value
+
+    def def_var(self, name: str, dtype, dims: Sequence[str],
+                deflate: int = 0, attrs: Optional[dict] = None) -> int:
+        xtype = _DTYPE_TO_NC[np.dtype(dtype)]
+        dimids = (ct.c_int * len(dims))(*[self._dims[d] for d in dims])
+        vid = ct.c_int()
+        _check(self._lib.vicio_nc_def_var(self.ncid, name.encode(), xtype,
+                                          len(dims), dimids, ct.byref(vid)))
+        if deflate:
+            _check(self._lib.vicio_nc_def_var_deflate(self.ncid, vid.value,
+                                                      deflate))
+        self._vars[name] = vid.value
+        if attrs:
+            for k, v in attrs.items():
+                self.put_att(k, v, var=name)
+        return vid.value
+
+    def put_att(self, name: str, value, var: Optional[str] = None):
+        varid = self._vars[var] if var is not None else -1  # NC_GLOBAL
+        if isinstance(value, str):
+            _check(self._lib.vicio_nc_put_att_text(
+                self.ncid, varid, name.encode(), value.encode()))
+        else:
+            _check(self._lib.vicio_nc_put_att_double(
+                self.ncid, varid, name.encode(), ct.c_double(float(value))))
+
+    def enddef(self):
+        if self._defining:
+            _check(self._lib.vicio_nc_enddef(self.ncid))
+            self._defining = False
+
+    # ---- inquiry ----
+    def varid(self, name: str) -> int:
+        if name not in self._vars:
+            vid = ct.c_int()
+            _check(self._lib.vicio_nc_inq_varid(self.ncid, name.encode(),
+                                                ct.byref(vid)))
+            self._vars[name] = vid.value
+        return self._vars[name]
+
+    def dim_len(self, name: str) -> int:
+        did = ct.c_int()
+        _check(self._lib.vicio_nc_inq_dimid(self.ncid, name.encode(),
+                                            ct.byref(did)))
+        ln = ct.c_longlong()
+        _check(self._lib.vicio_nc_inq_dimlen(self.ncid, did.value,
+                                             ct.byref(ln)))
+        return ln.value
+
+    def var_names(self):
+        n = ct.c_int()
+        _check(self._lib.vicio_nc_inq_nvars(self.ncid, ct.byref(n)))
+        out = []
+        for vid in range(n.value):
+            buf = ct.create_string_buffer(256)
+            _check(self._lib.vicio_nc_inq_varname(self.ncid, vid, buf))
+            out.append(buf.value.decode())
+        return out
+
+    # ---- data ----
+    def put(self, name: str, data: np.ndarray, start: Optional[Sequence[int]]
+            = None):
+        self.enddef()
+        data = np.ascontiguousarray(data)
+        varid = self.varid(name)
+        if start is None:
+            start = [0] * data.ndim
+        count = list(data.shape)
+        s, cnt = _ll_array(start), _ll_array(count)
+        nd = len(count)
+        if data.dtype == np.float32:
+            fn = self._lib.vicio_nc_put_vara_float
+            ptr = data.ctypes.data_as(ct.POINTER(ct.c_float))
+        elif data.dtype == np.float64:
+            fn = self._lib.vicio_nc_put_vara_double
+            ptr = data.ctypes.data_as(ct.POINTER(ct.c_double))
+        elif data.dtype == np.int32:
+            fn = self._lib.vicio_nc_put_vara_int
+            ptr = data.ctypes.data_as(ct.POINTER(ct.c_int))
+        else:
+            raise TypeError(f"unsupported dtype {data.dtype}")
+        _check(fn(self.ncid, varid, s, cnt, nd, ptr))
+
+    def get(self, name: str, start: Sequence[int], count: Sequence[int],
+            dtype=np.float64) -> np.ndarray:
+        varid = self.varid(name)
+        out = np.empty(tuple(count), np.dtype(dtype))
+        s, cnt = _ll_array(start), _ll_array(count)
+        nd = len(count)
+        if out.dtype == np.float32:
+            fn = self._lib.vicio_nc_get_vara_float
+            ptr = out.ctypes.data_as(ct.POINTER(ct.c_float))
+        elif out.dtype == np.float64:
+            fn = self._lib.vicio_nc_get_vara_double
+            ptr = out.ctypes.data_as(ct.POINTER(ct.c_double))
+        else:
+            raise TypeError(f"unsupported dtype {out.dtype}")
+        _check(fn(self.ncid, varid, s, cnt, nd, ptr))
+        return out
+
+    def get_att(self, var: str, name: str) -> float:
+        val = ct.c_double()
+        _check(self._lib.vicio_nc_get_att_double(
+            self.ncid, self.varid(var), name.encode(), ct.byref(val)))
+        return val.value
+
+    def sync(self):
+        self._lib.vicio_nc_sync(self.ncid)
+
+    def close(self):
+        if not self._closed:
+            _check(self._lib.vicio_nc_close(self.ncid))
+            self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def read_ascii_table(path: str, ncols: int, max_rows: int = 1 << 22,
+                     skip_rows: int = 0) -> np.ndarray:
+    """Fast parse of a whitespace-separated numeric table -> [rows, ncols]."""
+    lib = _load()
+    if lib is None:
+        # numpy fallback
+        data = np.loadtxt(path, comments="#", ndmin=2)
+        return data[skip_rows:skip_rows + max_rows, :ncols]
+    out = np.empty((max_rows, ncols), np.float64)
+    n = lib.vicio_read_ascii_table(
+        path.encode(), ct.c_longlong(skip_rows), ct.c_longlong(max_rows),
+        ct.c_int(ncols), out.ctypes.data_as(ct.POINTER(ct.c_double)))
+    if n < 0:
+        raise OSError(f"cannot read {path}")
+    return out[:n]
+
+
+def read_vic_binary(path: str, signed_flags: Sequence[bool],
+                    multipliers: Sequence[float], max_recs: int,
+                    skip_bytes: int = 0, skip_recs: int = 0,
+                    swap_bytes: bool = False) -> np.ndarray:
+    """Read the reference's int16-coded binary forcing file -> [nfields, recs]."""
+    lib = _load()
+    nf = len(signed_flags)
+    sf = np.asarray(signed_flags, np.int32)
+    mult = np.asarray(multipliers, np.float64)
+    if lib is None:
+        raw = np.fromfile(path, dtype=np.uint16, offset=skip_bytes)
+        raw = raw[skip_recs * nf:]
+        n = len(raw) // nf
+        raw = raw[:n * nf].reshape(n, nf)
+        if swap_bytes:
+            raw = raw.byteswap()
+        out = np.where(sf[None, :] == 1, raw.astype(np.int16),
+                       raw.astype(np.float64))
+        return (out.astype(np.float64) / mult[None, :]).T[:, :max_recs]
+    out = np.empty((nf, max_recs), np.float64)
+    n = lib.vicio_read_vic_binary(
+        path.encode(), ct.c_longlong(skip_bytes), ct.c_longlong(skip_recs),
+        ct.c_longlong(max_recs), ct.c_int(nf),
+        sf.ctypes.data_as(ct.POINTER(ct.c_int)),
+        mult.ctypes.data_as(ct.POINTER(ct.c_double)),
+        ct.c_int(int(swap_bytes)),
+        out.ctypes.data_as(ct.POINTER(ct.c_double)))
+    if n < 0:
+        raise OSError(f"cannot read {path}")
+    return out[:, :n]

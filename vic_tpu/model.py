@@ -1,0 +1,388 @@
+"""The model step: per-record column physics over the full (cell, hru) batch,
+and the `lax.scan` time integrator.
+
+This is the TPU-native re-design of the reference call stack
+  dist_prec -> full_energy -> [per-HRU loop] surface_fluxes -> runoff
+(/root/reference/dist_prec.c:8, full_energy.c:216-455, surface_fluxes.c:17-948):
+the reference's OpenMP-over-cells / serial-over-HRUs loop nest becomes one
+batched evaluation where every physics kernel runs on [n_cell, max_hru] lanes,
+and `lax.scan` carries the prognostic `ModelState` across records.
+
+Phase coverage (SURVEY.md SS7.2): water-balance + full-energy surface physics
+with the quick-flux ground heat path; snow via the two-layer pack EB; glacier
+HRUs via the PCIC snow-on-ice + bare-ice ablation path (surface_fluxes_glac.c).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import constants as c
+from .physics.aero import calc_aerodynamic
+from .physics.runoff import runoff_step
+from .physics.snow import calc_rainonly, new_snow_density, snow_albedo, \
+    snow_density_update, snow_melt
+from .physics.soil_thermal import layer_thermal_props
+from .physics.surface import solve_surface_temperature, surf_energy_terms
+from .prepare import DeviceParams
+from .state import ModelState
+
+
+class StepOutputs(NamedTuple):
+    """Cell-aggregated diagnostics for one record (put_data.c analog).
+    All [n_cell]; water terms mm/step."""
+    prec: jnp.ndarray
+    rainf: jnp.ndarray
+    snowf: jnp.ndarray
+    evap: jnp.ndarray
+    runoff: jnp.ndarray
+    baseflow: jnp.ndarray
+    swe: jnp.ndarray          # mm
+    soil_moist: jnp.ndarray   # [n_cell, n_layer] mm
+    wdew: jnp.ndarray
+    snow_depth: jnp.ndarray   # cm (reference OUT_SNOW_DEPTH convention)
+    surf_temp: jnp.ndarray    # C
+    albedo: jnp.ndarray
+    snow_cover: jnp.ndarray
+    water_error: jnp.ndarray  # closure residual mm/step
+    glac_melt: jnp.ndarray    # mm/step glacier ice melt
+    glac_outflow: jnp.ndarray
+
+
+def make_step(params: DeviceParams, gp):
+    """Build the jittable per-record step(state, forcing) -> (state, outputs).
+
+    forcing: dict with [n_cell] arrays 'prec' (mm/step), 'air_temp' (C),
+    'wind' (m/s), 'shortwave', 'longwave' (W/m^2), 'pressure' (Pa), 'vp' (Pa),
+    'density' (kg/m^3), and int32 scalars 'month' (1-12), 'day_in_year'.
+    """
+    dt_hours = gp.dt
+    dt_sec = float(dt_hours) * 3600.0
+    full_energy = gp.full_energy
+    frozen = gp.frozen_soil
+    nl = gp.nlayer
+
+    def step(state: ModelState, forcing):
+        p = params
+        month = forcing["month"]
+        doy = forcing["day_in_year"]
+        mi = month - 1
+
+        # ---- broadcast forcings to [c,h] with band lapse (A.2) -------------
+        B = lambda a: a[:, None]
+        tair = B(forcing["air_temp"]) + p.tfactor
+        prec = B(forcing["prec"]) * p.pfactor
+        wind = jnp.maximum(B(forcing["wind"]),
+                           jnp.asarray(gp.min_wind_speed, tair.dtype))
+        sw_in = B(forcing["shortwave"])
+        lw_in = B(forcing["longwave"])
+        pressure = B(forcing["pressure"])
+        vp_air = B(forcing["vp"])
+        air_dens = B(forcing["density"])
+        from .physics.evap import svp as svp_fn
+        vpd = jnp.maximum(svp_fn(tair) - vp_air, 0.0)
+
+        # ---- monthly veg parameter gathers ---------------------------------
+        take_m = lambda a: jnp.take(a, mi, axis=-1)
+        lai = take_m(p.lai_m)
+        wdmax = take_m(p.wdmax_m)
+        veg_albedo = take_m(p.albedo_m)
+        veg_rough = take_m(p.roughness_m)
+        veg_displ = take_m(p.displacement_m)
+        bare = p.is_bare | p.is_glacier
+        bare_albedo = jnp.where(p.is_glacier, B(p.glac_albedo),
+                                jnp.where(bare, c.BARE_SOIL_ALBEDO, veg_albedo))
+        surf_rough = jnp.where(bare, B(p.rough), veg_rough)
+        surf_displ = jnp.where(bare, 0.0, veg_displ)
+        ref_height = jnp.where(bare, B(p.rough) + 2.0, gs_wind_h(p, veg_displ))
+
+        # ---- aerodynamic resistances (full_energy.c:302-354) ---------------
+        aero = calc_aerodynamic(
+            p.overstory, p.veg_height, p.trunk_ratio, B(p.snow_rough),
+            B(p.rough), p.wind_atten, surf_displ, surf_rough, ref_height, wind)
+
+        # ---- rain/snow partition (solve_snow.c:149-156) --------------------
+        rainonly = calc_rainonly(tair, prec, B(p.max_snow_temp),
+                                 B(p.min_rain_temp),
+                                 int(gp.temp_th_type))
+        snowfall = (prec - rainonly) * B(p.padj_s)
+        rainfall = rainonly * B(p.padj_r)
+        out_prec = snowfall + rainfall
+        le = 2.501e6 - 2361.0 * tair
+
+        snow_present = jnp.logical_or(state.swq > 0.0, snowfall > 0.0)
+
+        # no-overstory canopy dump when snow falls on stored dew
+        dump = jnp.logical_and(~p.overstory,
+                               jnp.logical_and(snowfall > 0.0,
+                                               state.wdew > 0.0))
+        rainfall = rainfall + jnp.where(dump, state.wdew, 0.0)
+        wdew0 = jnp.where(dump, 0.0, state.wdew)
+
+        # ---- snow albedo aging (solve_snow.c:418-439) ----------------------
+        fresh = snowfall > 0.0
+        last_snow = jnp.where(fresh, 0, state.last_snow + 1)
+        albedo_aged = snow_albedo(
+            snowfall, state.swq, state.depth, state.albedo, state.cold_content,
+            dt_hours, last_snow.astype(tair.dtype), state.melting,
+            B(p.new_snow_alb), B(p.snow_alb_accum_a), B(p.snow_alb_accum_b),
+            B(p.snow_alb_thaw_a), B(p.snow_alb_thaw_b),
+            sun1999=(int(gp.snow_albedo) == 1))
+        snow_alb = jnp.where(fresh, B(p.new_snow_alb), albedo_aged)
+        albedo_under = jnp.where(fresh, snow_alb,
+                                 state.coverage * snow_alb
+                                 + (1.0 - state.coverage) * bare_albedo)
+        net_short_snow = (1.0 - albedo_under) * sw_in
+
+        # ---- snowpack accumulation/ablation (snow_melt.c) ------------------
+        tgrnd = state.node_temp[..., 0]
+        glacier = p.is_glacier
+        tgrnd_eff = jnp.where(glacier, c.GLAC_TEMP, tgrnd)
+        sm = snow_melt(
+            swq=state.swq, surf_temp=state.surf_temp,
+            pack_temp=state.pack_temp, surf_water=state.surf_water,
+            pack_water=state.pack_water, snow_depth=state.depth,
+            snow_density=state.density, coldcontent=state.cold_content,
+            rainfall_mm=rainfall, snowfall_mm=snowfall,
+            air_temp=tair, tcanopy=tair, tgrnd=tgrnd_eff, wind=wind,
+            vp_air=vp_air, vpd=vpd, air_dens=air_dens, pressure=pressure,
+            longwave_in=lw_in, net_short=net_short_snow, lv=le,
+            ra=aero.resist.snow_covered,
+            displacement=aero.displacement.snow_covered,
+            z_ref=aero.ref_height.snow_covered,
+            roughness=aero.roughness.snow_covered,
+            dt_sec=dt_sec, max_iter=gp.brent_maxiter,
+            tfallback=gp.tfallback)
+
+        # merge: lanes with snow take the snow result, others keep zero pack
+        S = lambda new, old: jnp.where(snow_present, new, old)
+        swq = S(sm.swq, state.swq)
+        surf_temp = S(sm.surf_temp, 0.0 * state.surf_temp)
+        pack_temp = S(sm.pack_temp, 0.0 * state.pack_temp)
+        surf_water = S(sm.surf_water, 0.0 * state.surf_water)
+        pack_water = S(sm.pack_water, 0.0 * state.pack_water)
+        melt_out = jnp.where(snow_present, sm.melt, 0.0)
+        cold_content = S(sm.cold_content, 0.0 * state.cold_content)
+        vapor_flux = jnp.where(snow_present, sm.vapor_flux, 0.0)
+
+        # ---- glacier lane: bare-ice ablation once snow is gone -------------
+        # (surface_fluxes_glac.c:311: solve_glacier on snow-free glacier ice)
+        from .physics.glacier import glacier_ablation
+        glac = glacier_ablation(
+            tair=tair, net_short=(1.0 - B(p.glac_albedo)) * sw_in,
+            longwave_in=lw_in, wind=wind, vp_air=vp_air, vpd=vpd,
+            air_dens=air_dens, pressure=pressure, le=le,
+            rain_mm=jnp.where(jnp.logical_and(glacier, ~snow_present),
+                              rainfall, 0.0),
+            ra=aero.resist.glacier, z_ref=aero.ref_height.glacier,
+            roughness=aero.roughness.glacier,
+            old_tsurf=state.glac_surf_temp,
+            glac_surf_we=B(p.glac_surf_we), dt_sec=dt_sec,
+            max_iter=gp.brent_maxiter)
+        on_ice = jnp.logical_and(glacier, ~snow_present)
+        glac_melt_mm = jnp.where(on_ice, glac.melt_mm, 0.0)
+        glac_surf_temp = jnp.where(on_ice, glac.surf_temp,
+                                   jnp.where(glacier, 0.0,
+                                             state.glac_surf_temp))
+
+        # glacier water reservoir: inflow = ALL water reaching the glacier
+        # surface (snowpack outflow, bare-ice melt, rain on bare ice);
+        # outflow = K*storage with K = KMIN + DK*exp(-A*swe), added directly
+        # to HRU surface runoff (surface_fluxes_glac.c:580-608)
+        glac_inflow = jnp.where(
+            glacier,
+            melt_out + glac_melt_mm + jnp.where(on_ice, rainfall, 0.0), 0.0)
+        storage = state.glac_water_storage + glac_inflow
+        kfac = B(p.glac_kmin) + B(p.glac_dk) * jnp.exp(
+            -B(p.glac_a) * swq * 1000.0)
+        glac_outflow = jnp.where(glacier, kfac * storage, 0.0)
+        glac_water_storage = jnp.where(glacier, storage - glac_outflow,
+                                       state.glac_water_storage)
+
+        # ---- snowpack density/depth (solve_snow.c:478-496) -----------------
+        density_new = snow_density_update(
+            state.swq, state.depth, state.density, surf_temp, snowfall, tair,
+            dt_hours, liquid_water=surf_water + pack_water,
+            snthrm=(int(gp.snow_density) == 1))
+        density = jnp.where(
+            swq > 0.0,
+            jnp.where(state.swq > 0.0, density_new, new_snow_density(
+                tair, snthrm=(int(gp.snow_density) == 1))),
+            0.0)
+        depth = jnp.where(density > 0.0, 1000.0 * swq / jnp.maximum(
+            density, 1.0), 0.0)
+        coverage = jnp.where(swq > 0.0, 1.0, 0.0)
+
+        # MELTING flag (solve_snow.c:500-510, lat-aware melt season window)
+        north = B(p.lat) >= 0
+        in_season = jnp.where(north,
+                              jnp.logical_and(doy > 60, doy < 273),
+                              jnp.logical_or(doy < 60, doy > 273))
+        melting = jnp.where(
+            swq > 0.0,
+            jnp.where(jnp.logical_and(cold_content >= 0.0, in_season),
+                      True,
+                      jnp.where(jnp.logical_and(state.melting,
+                                                snowfall > c.TRACESNOW),
+                                False, state.melting)),
+            False)
+
+        # ---- surface energy balance on snow-free ground --------------------
+        moist0 = state.moist
+        ice0 = state.ice
+        kappa, cs = layer_thermal_props(
+            moist0[..., :2], ice0[..., :2], B(p.depth)[..., :2],
+            B(p.soil_dens_min)[..., :2], B(p.bulk_dens_min)[..., :2],
+            B(p.quartz)[..., :2], B(p.soil_density)[..., :2],
+            B(p.bulk_density)[..., :2], B(p.organic)[..., :2])
+        d1 = B(p.depth)[..., 0]
+        d2 = B(p.dp) - d1
+        moist0_vol = moist0[..., 0] / (B(p.depth)[..., 0] * 1000.0)
+        ice0_vol = ice0[..., 0] / (B(p.depth)[..., 0] * 1000.0)
+        max_moist0_vol = B(p.max_moist)[..., 0] / (B(p.depth)[..., 0] * 1000.0)
+
+        snowing = snow_present  # reference SNOWING = snow->snow
+        net_short_bare = (1.0 - bare_albedo) * sw_in * (1.0 - coverage)
+        long_bare_in = (1.0 - coverage) * lw_in
+
+        eb_kwargs = dict(
+            ts_old=state.node_temp[..., 0], t1_old=state.node_temp[..., 1],
+            t2=state.node_temp[..., -1], d1=d1, d2=d2,
+            kappa1=kappa[..., 0], kappa2=kappa[..., 1],
+            cs1=cs[..., 0], cs2=cs[..., 1], dp=B(p.dp), delta_t=dt_sec,
+            moist0_vol=moist0_vol, max_moist0_vol=max_moist0_vol,
+            ice0_vol=ice0_vol, bubble0=B(p.bubble)[..., 0],
+            expt0=B(p.expt)[..., 0], fs_active=B(p.fs_active),
+            tair=tair, vpd=vpd, vp_air=vp_air,
+            shortwave_net_bare=net_short_bare, long_bare_in=long_bare_in,
+            atmos_density=air_dens, atmos_pressure=pressure,
+            elevation=B(p.elevation), latent_heat_le=le,
+            ra_under=aero.resist.snow_free, z_ref=aero.ref_height.snow_free,
+            displacement=aero.displacement.snow_free,
+            roughness=aero.roughness.snow_free, wind=aero.wind.snow_free,
+            overstory_snowing=jnp.logical_and(p.overstory, snowing),
+            is_veg=jnp.logical_and(~bare, lai > 0.0), lai=lai, wdew=wdew0,
+            wdmax=wdmax, rmin=p.rmin, rgl=p.rgl, rarc=p.rarc, root=p.root,
+            ra_canopy=aero.resist.canopy,
+            displacement_canopy=aero.displacement.canopy,
+            roughness_canopy=aero.roughness.canopy,
+            ref_height_canopy=aero.ref_height.canopy,
+            rainfall=rainfall, moist_l=moist0, ice_l=ice0,
+            wcr=B(p.wcr), wpwp=B(p.wpwp), depth_l=B(p.depth),
+            resid_moist0=B(p.resid_moist)[..., 0], b_infilt=B(p.b_infilt),
+            max_moist_l=B(p.max_moist),
+            snow_coverage=coverage, surf_atten=surf_atten_of(lai, p),
+            grnd_flux_type=int(gp.grnd_flux_type), frozen_soil=frozen)
+
+        ts, fb = solve_surface_temperature(eb_kwargs, state.node_temp[..., 0],
+                                           tair, full_energy,
+                                           max_iter=gp.brent_maxiter)
+        eb = surf_energy_terms(ts, compute_evap=True, **eb_kwargs)
+
+        # suppress soil/canopy ET for snow-covered or snowing lanes
+        # (func_surf_energy_bal.c:320: Evap=0 when SNOWING)
+        no_soil_evap = jnp.logical_or(snowing, glacier)
+        evap_sfree = jnp.where(no_soil_evap, 0.0, eb.evap)
+        layer_evap = jnp.where(no_soil_evap[..., None], 0.0, eb.layer_evap)
+        wdew_new = jnp.where(no_soil_evap, wdew0, eb.wdew_new)
+        throughfall = jnp.where(snowing, 0.0, eb.throughfall)
+
+        # water reaching the soil surface (ppt); glacier HRU soil receives
+        # nothing — its surface water cycles through the ice reservoir
+        # (surface_fluxes_glac.c:581-584 ppt = excess_moist ~= 0)
+        ppt = jnp.where(snowing, melt_out, throughfall)
+        ppt = jnp.where(glacier, 0.0, ppt)
+
+        # ---- runoff & baseflow ---------------------------------------------
+        ro = runoff_step(
+            moist0, ice0, layer_evap, ppt,
+            B(p.max_moist), B(p.resid_moist), B(p.depth), B(p.ksat),
+            B(p.expt), B(p.b_infilt), B(p.ds), B(p.dsmax), B(p.ws),
+            B(p.c_expt), dt_hours)
+
+        # ---- node temperatures (QUICK_FLUX path: [Ts, T1, T2]) -------------
+        node_temp = state.node_temp
+        node_temp = node_temp.at[..., 0].set(ts)
+        node_temp = node_temp.at[..., 1].set(eb.t1)
+
+        snow_sub_mm = vapor_flux * 1000.0  # m/step -> mm (loss positive)
+        total_evap = evap_sfree + snow_sub_mm
+
+        new_state = ModelState(
+            moist=ro.moist, ice=ice0, wdew=wdew_new,
+            snow_canopy=state.snow_canopy,
+            swq=swq, surf_temp=surf_temp, pack_temp=pack_temp,
+            surf_water=surf_water, pack_water=pack_water,
+            density=density, depth=depth, albedo=snow_alb,
+            last_snow=last_snow, melting=melting, coverage=coverage,
+            cold_content=cold_content, snow_flag=snow_present,
+            node_temp=node_temp, tfoliage=tair,
+            glac_water_storage=glac_water_storage,
+            glac_cum_mass_balance=state.glac_cum_mass_balance
+            + jnp.where(glacier, (snowfall - glac_melt_mm) / 1000.0, 0.0),
+            glac_surf_temp=glac_surf_temp,
+            surf_temp_fbcount=state.surf_temp_fbcount + fb.astype(jnp.int32),
+            snow_temp_fbcount=state.snow_temp_fbcount
+            + sm.surf_temp_fbflag.astype(jnp.int32),
+        )
+
+        # ---- cell aggregation (put_data.c:282-330: sum w*Cv*AreaFract) -----
+        w = p.weight
+        agg = lambda x: (x * w).sum(-1)
+        # note: swq already includes surf/pack liquid water (snow_melt.c:540)
+        storage0 = state.moist.sum(-1) + state.wdew + state.swq * 1000.0 \
+            + state.glac_water_storage
+        storage1 = ro.moist.sum(-1) + wdew_new + swq * 1000.0 \
+            + glac_water_storage
+        influx = out_prec + jnp.where(glacier, glac_melt_mm, 0.0)
+        wb_err = (storage1 - storage0) - (
+            influx - total_evap - (ro.runoff + glac_outflow) - ro.baseflow)
+
+        outputs = StepOutputs(
+            prec=agg(out_prec), rainf=agg(rainfall), snowf=agg(snowfall),
+            evap=agg(total_evap), runoff=agg(ro.runoff + glac_outflow),
+            baseflow=agg(ro.baseflow), swe=agg(swq * 1000.0),
+            soil_moist=(ro.moist * w[..., None]).sum(-2),
+            wdew=agg(wdew_new), snow_depth=agg(depth * 100.0),
+            surf_temp=agg(ts), albedo=agg(albedo_under),
+            snow_cover=agg(coverage), water_error=agg(wb_err),
+            glac_melt=agg(glac_melt_mm), glac_outflow=agg(glac_outflow))
+
+        return new_state, outputs
+
+    return step
+
+
+def gs_wind_h(p: DeviceParams, veg_displ):
+    """Wind measurement reference height per HRU: veg wind_h, but at least
+    displacement + 2 m above it for bare (read_veglib wind_h semantics)."""
+    return jnp.maximum(p.wind_h, veg_displ + 2.0)
+
+
+def surf_atten_of(lai, p: DeviceParams):
+    """Canopy shortwave attenuation exp(-rad_atten * LAI) for overstory
+    (full_energy.c surf_atten), 1 otherwise."""
+    return jnp.where(p.overstory, jnp.exp(-p.rad_atten * lai), 1.0)
+
+
+def run(state: ModelState, forcing_stacked: dict, params: DeviceParams, gp):
+    """Scan the step over [n_rec, ...] stacked forcing. Returns
+    (final_state, StepOutputs stacked over records)."""
+    step = make_step(params, gp)
+
+    def body(carry, forc):
+        return step(carry, forc)
+
+    return jax.lax.scan(body, state, forcing_stacked)
+
+
+def make_forcing_stack(forc: dict, timeaxis, dtype=jnp.float32) -> dict:
+    """Stack host forcing dict of [n_rec, n_cell] numpy arrays + time axis into
+    the scan input pytree."""
+    out = {k: jnp.asarray(v, dtype) for k, v in forc.items()}
+    out["month"] = jnp.asarray(timeaxis.month, jnp.int32)
+    out["day_in_year"] = jnp.asarray(timeaxis.day_in_year, jnp.int32)
+    return out

@@ -1,0 +1,224 @@
+"""Evapotranspiration chain: saturation vapor pressure, Penman–Monteith,
+canopy interception evaporation, transpiration with soil-moisture stress, and
+ARNO bare-soil evaporation.
+
+Batched TPU re-expression of the reference scalar routines:
+- svp/svp_slope             — /root/reference/svp.c:7-25 (HBH eqns 4.2.2/4.2.3)
+- calc_rc/penman            — /root/reference/penman.c:44-140
+- canopy_evap/transpiration — /root/reference/canopy_evap.c:46-445
+- arno_evap                 — /root/reference/arno_evap.c:61-228 (30-term beta series)
+
+All functions operate elementwise over any batch shape (typically [n_cell, max_hru]);
+per-layer quantities carry a trailing layer axis. The reference's wet/dry DIST_PRCP
+loop becomes an optional leading `dist` axis handled by the caller; these kernels are
+single-distribution.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..constants import (A_SVP, B_SVP, C_SVP, CP_PM, HUGE_RESIST, LAPSE_PM,
+                         PS_PM, SEC_PER_DAY)
+
+# penman.c:40-42
+_CLOSURE = 4000.0   # Pa
+_RSMAX = 5000.0
+_VPDMINFACTOR = 0.1
+
+
+def svp(temp):
+    """Saturated vapor pressure (Pa). svp.c:7-23 incl. sub-freezing correction."""
+    s = A_SVP * jnp.exp((B_SVP * temp) / (C_SVP + temp))
+    s = jnp.where(temp < 0.0,
+                  s * (1.0 + 0.00972 * temp + 0.000042 * temp * temp), s)
+    return s * 1000.0
+
+
+def svp_slope(temp):
+    """d(svp)/dT (Pa/K). svp.c (HBH 4.2.3)."""
+    return (B_SVP * C_SVP) / ((C_SVP + temp) ** 2) * svp(temp)
+
+
+def calc_rc(rs, net_short, rgl, tair, vpd, lai, gsm_inv, ref_crop: bool = False):
+    """Canopy resistance (s/m), Wigmosta et al. 1994 factors (penman.c:44-96).
+
+    ref_crop is a static python flag (the PET reference-surface path)."""
+    rgl_safe = jnp.where(rgl == 0.0, 1.0, rgl)
+    f = net_short / rgl_safe
+    dayfactor = jnp.where(rs > 0.0, (1.0 + f) / (f + rs / _RSMAX), 1.0)
+    tfactor = jnp.maximum(0.08 * tair - 0.0016 * tair * tair, 1e-10)
+    vpdfactor = jnp.maximum(1.0 - vpd / _CLOSURE, _VPDMINFACTOR)
+    lai_safe = jnp.where(lai == 0.0, 1.0, lai)
+    gsm_safe = jnp.where(gsm_inv == 0.0, 1.0, gsm_inv)
+    if ref_crop:
+        rc_full = rs / (lai_safe * 0.5)
+    else:
+        rc_full = jnp.minimum(
+            rs / (lai_safe * gsm_safe * tfactor * vpdfactor) * dayfactor, _RSMAX)
+    rc = jnp.where(rs == 0.0, 0.0,
+                   jnp.where(lai == 0.0, HUGE_RESIST,
+                             jnp.where(gsm_inv == 0.0, _RSMAX, rc_full)))
+    return rc
+
+
+def penman(tair, elevation, rad, vpd, ra, rc, rarc):
+    """Penman–Monteith evaporation in mm/day (penman.c:96-143)."""
+    slope = svp_slope(tair)
+    h = 287.0 / 9.81 * ((tair + 273.15) + 0.5 * elevation * LAPSE_PM)
+    pz = PS_PM * jnp.exp(-elevation / h)
+    lv = 2501000.0 - 2361.0 * tair
+    gamma = 1628.6 * pz / lv
+    r_air = 0.003486 * pz / (275.0 + tair)
+    ra_safe = jnp.maximum(ra, 1e-10)
+    evap = ((slope * rad + r_air * CP_PM * vpd / ra_safe)
+            / (lv * (slope + gamma * (1.0 + (rc + rarc) / ra_safe)))
+            * SEC_PER_DAY)
+    # negative evap only allowed as condensation when vpd < 0 (penman.c:138-141)
+    return jnp.where(jnp.logical_and(vpd >= 0.0, evap < 0.0), 0.0, evap)
+
+
+def transpiration(moist, soil_ice, wcr, wpwp, root, depth,
+                  rmin, rgl, lai, rarc,
+                  rad, net_short, vpd, air_temp, elevation, ra,
+                  f, wdew_frac_pow, delta_t):
+    """Transpiration split over soil layers (canopy_evap.c:218-445).
+
+    moist/soil_ice/wcr/wpwp/root/depth: [..., n_layer]
+    everything else: [...] broadcastable.
+    f: fraction of step used by canopy evaporation.
+    wdew_frac_pow: (Wdew/Wdmax)^(2/3) term.
+    Returns layerevap [..., n_layer] (mm/step).
+    """
+    n_layer = moist.shape[-1]
+    avail = jnp.maximum(moist - soil_ice, 0.0)
+    has_root = root > 0.0
+    # top N-1 layers combined (canopy_evap.c:296-312): only layers with roots
+    top = slice(0, n_layer - 1)
+    avail_top = jnp.where(has_root[..., top], avail[..., top], 0.0)
+    moist1 = avail_top.sum(-1)
+    wcr1 = jnp.where(has_root[..., top], wcr[..., top], 0.0).sum(-1)
+    moist2 = avail[..., -1]
+    avail_eff = jnp.concatenate([avail_top, moist2[..., None]], axis=-1)
+    root_last = root[..., -1]
+
+    # CASE 1 condition (canopy_evap.c:339-343)
+    case1 = ((moist1 >= wcr1) & (moist2 >= wcr[..., -1]) & (wcr1 > 0.0)) \
+        | ((moist1 >= wcr1) & ((1.0 - root_last) >= 0.5)) \
+        | ((moist2 >= wcr[..., -1]) & (root_last >= 0.5))
+
+    trans_factor = (1.0 - f * wdew_frac_pow)
+
+    # --- CASE 1: unstressed potential ET split by roots -----------------
+    rc1 = calc_rc(rmin, net_short, rgl, air_temp, vpd, lai, jnp.ones_like(vpd))
+    evap1 = (penman(air_temp, elevation, rad, vpd, ra, rc1, rarc)
+             * delta_t / SEC_PER_DAY * trans_factor)
+    layer_wet = avail_eff >= wcr
+    gsm_l = jnp.clip((avail_eff - wpwp) / jnp.maximum(wcr - wpwp, 1e-10),
+                     0.0, 1.0)
+    layerevap1 = jnp.where(layer_wet,
+                           evap1[..., None] * root,
+                           evap1[..., None] * gsm_l * root)
+    # redistribute the shortfall of stressed layers to unstressed layers
+    spare = jnp.where(layer_wet, 0.0,
+                      evap1[..., None] * root * (1.0 - gsm_l)).sum(-1)
+    root_sum = 1.0 - jnp.where(layer_wet, 0.0, root).sum(-1)
+    root_sum = jnp.where(root_sum <= 0.0, 1.0, root_sum)
+    layerevap1 = layerevap1 + jnp.where(
+        layer_wet, root * (spare / root_sum)[..., None], 0.0)
+
+    # --- CASE 2: independent stressed layers ----------------------------
+    rc2 = calc_rc(rmin[..., None] * jnp.ones_like(gsm_l), net_short[..., None],
+                  rgl[..., None], air_temp[..., None], vpd[..., None],
+                  lai[..., None], gsm_l)
+    layerevap2 = jnp.where(
+        gsm_l > 0.0,
+        penman(air_temp[..., None], elevation[..., None], rad[..., None],
+               vpd[..., None], ra[..., None], rc2, rarc[..., None])
+        * delta_t / SEC_PER_DAY * root * trans_factor[..., None],
+        0.0)
+
+    layerevap = jnp.where(case1[..., None], layerevap1, layerevap2)
+
+    # moisture-availability caps (canopy_evap.c:420-443)
+    cap_icy = jnp.where(soil_ice >= wpwp, avail, moist - wpwp)
+    cap = jnp.where(soil_ice > 0.0, cap_icy, moist - wpwp)
+    layerevap = jnp.clip(layerevap, 0.0, jnp.maximum(cap, 0.0))
+    return layerevap
+
+
+def canopy_evap(moist, soil_ice, wcr, wpwp, root, depth,
+                wdew, prec, wdmax,
+                rmin, rgl, lai, rarc,
+                rad, net_short, vpd, air_temp, elevation, ra,
+                delta_t, calc_transpiration: bool = True):
+    """Canopy interception evaporation + transpiration (canopy_evap.c:46-213).
+
+    Returns (evap_total_mm_per_step [...], layerevap [..., n_layer],
+             canopyevap [...], throughfall [...], wdew_new [...]).
+    All water terms in mm per time step.
+    """
+    wdmax_safe = jnp.maximum(wdmax, 1e-10)
+    # spill any Wdew over this month's capacity (canopy_evap.c:152-156)
+    throughfall = jnp.maximum(wdew - wdmax, 0.0)
+    wdew_c = jnp.minimum(wdew, wdmax)
+
+    rc = calc_rc(jnp.zeros_like(vpd), net_short, rgl, air_temp, vpd, lai,
+                 jnp.ones_like(vpd))
+    canopyevap = (jnp.power(jnp.clip(wdew_c / wdmax_safe, 0.0, 1.0), 2.0 / 3.0)
+                  * penman(air_temp, elevation, rad, vpd, ra, rc, rarc)
+                  * delta_t / SEC_PER_DAY)
+
+    # fraction of step consumed by canopy evaporation (canopy_evap.c:168-177)
+    storage = jnp.where(delta_t == SEC_PER_DAY, wdew_c + prec, wdew_c)
+    f = jnp.where(canopyevap > 0.0,
+                  jnp.minimum(1.0, storage / jnp.maximum(canopyevap, 1e-20)),
+                  1.0)
+    canopyevap = canopyevap * f
+
+    wdew_new = jnp.maximum(wdew_c + prec - canopyevap, 0.0)
+    over = jnp.maximum(wdew_new - wdmax, 0.0)
+    throughfall = throughfall + over
+    wdew_new = wdew_new - over
+
+    if calc_transpiration:
+        wdew_frac_pow = jnp.power(jnp.clip(wdew_new / wdmax_safe, 0.0, 1.0),
+                                  2.0 / 3.0)
+        layerevap = transpiration(moist, soil_ice, wcr, wpwp, root, depth,
+                                  rmin, rgl, lai, rarc,
+                                  rad, net_short, vpd, air_temp, elevation, ra,
+                                  f, wdew_frac_pow, delta_t)
+    else:
+        layerevap = jnp.zeros_like(moist)
+
+    evap_total = canopyevap + layerevap.sum(-1)
+    return evap_total, layerevap, canopyevap, throughfall, wdew_new
+
+
+def arno_evap(moist0, soil_ice0, max_moist0, depth0, resid_moist0,
+              b_infilt, rad, air_temp, vpd, elevation, ra, delta_t):
+    """ARNO/Francini-Pacciani bare-soil evaporation from the top layer
+    (arno_evap.c:61-228). Returns evap (mm/step)."""
+    moist = jnp.minimum(jnp.maximum(moist0 - soil_ice0, 0.0), max_moist0)
+    epot = penman(air_temp, elevation, rad, vpd, ra,
+                  jnp.zeros_like(ra), jnp.zeros_like(ra)) * delta_t / SEC_PER_DAY
+
+    ratio = jnp.clip(1.0 - moist / max_moist0, 0.0, 1.0)
+    b_safe = jnp.where(b_infilt == 0.0, 1.0, b_infilt)
+    ratio_b = jnp.where(ratio != 0.0, jnp.power(ratio, b_safe), 0.0)
+    as_frac = 1.0 - ratio_b
+    ratio_ib = jnp.where(ratio_b != 0.0, jnp.power(ratio_b, 1.0 / b_safe), 0.0)
+
+    # 30-term power series for the beta function (arno_evap.c:184-196)
+    powers = jnp.power(ratio_ib[..., None],
+                       jnp.arange(1, 31, dtype=moist.dtype))
+    terms = b_infilt[..., None] * powers / (
+        b_infilt[..., None] + jnp.arange(1, 31, dtype=moist.dtype))
+    dummy = 1.0 + terms.sum(-1)
+
+    beta_asp = as_frac + (1.0 - as_frac) * (1.0 - ratio_ib) * dummy
+    evap = epot * beta_asp
+
+    resid_mm = resid_moist0 * depth0 * 1000.0
+    cap = jnp.maximum(moist - resid_mm, 0.0)
+    evap = jnp.where(evap > 0.0, jnp.minimum(evap, cap), evap)
+    return evap

@@ -1,0 +1,238 @@
+"""Soil-surface energy balance residual and solver.
+
+Batched re-expression of the reference's `SurfEnergyBal` functor
+(/root/reference/func_surf_energy_bal.c:calculate, driven by
+/root/reference/calc_surf_energy_bal.c:7-520):
+
+- quick-flux ground heat via estimate_T1 (Liang et al. 1999) with the GF_406 /
+  GF_410 ground-flux variants;
+- deltaH heat-storage and fusion terms over the node-0..1 region;
+- evapotranspiration evaluated INSIDE the residual (canopy_evap for vegetated,
+  arno_evap for bare/LAI==0 lanes) exactly as the reference does
+  (func_surf_energy_bal.c:320-336);
+- Richardson-number stability-corrected aerodynamic resistance;
+- the thin-snow INCLUDE_SNOW terms (snow flux through a shallow pack).
+
+In water-balance mode (FULL_ENERGY=FALSE) the residual is evaluated ONCE at
+Ts = Tair (calc_surf_energy_bal.c:300-307); in full-energy mode the surface
+temperature is a batched Brent root of this residual bracketed +/-SURF_DT around
+0.5*(T0_old + Tair) (calc_surf_energy_bal.c:277-346), with TFALLBACK.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .. import constants as c
+from ..ops.rootfind import batched_brent
+from .evap import arno_evap, canopy_evap
+from .snow import latent_heat_from_snow, stability_correction
+from .soil_thermal import estimate_t1, maximum_unfrozen_water
+
+
+class SurfEBResult(NamedTuple):
+    error: jnp.ndarray          # residual (W/m^2)
+    t1: jnp.ndarray             # between-layer temperature estimate
+    grnd_flux: jnp.ndarray
+    delta_h: jnp.ndarray
+    fusion: jnp.ndarray
+    latent_heat: jnp.ndarray
+    latent_heat_sub: jnp.ndarray
+    sensible_heat: jnp.ndarray
+    snow_flux: jnp.ndarray
+    net_long_bare: jnp.ndarray
+    net_short_bare: jnp.ndarray
+    evap: jnp.ndarray           # total ET (mm/step) on snow-free fraction
+    layer_evap: jnp.ndarray     # [..., n_layer] mm/step
+    canopy_evap_mm: jnp.ndarray
+    throughfall: jnp.ndarray
+    wdew_new: jnp.ndarray
+    refreeze_energy: jnp.ndarray
+    delta_cc: jnp.ndarray
+
+
+def surf_energy_terms(
+        ts, *,
+        # thermal state / geometry
+        ts_old, t1_old, t2, d1, d2, kappa1, kappa2, cs1, cs2, dp, delta_t,
+        # frozen soil
+        moist0_vol, max_moist0_vol, ice0_vol, bubble0, expt0, fs_active,
+        # forcing / met at this sub-step
+        tair, vpd, vp_air, shortwave_net_bare, long_bare_in, atmos_density,
+        atmos_pressure, elevation, latent_heat_le,
+        # aero
+        ra_under, z_ref, displacement, roughness, wind, overstory_snowing,
+        # vegetation / evap inputs
+        is_veg, lai, wdew, wdmax, rmin, rgl, rarc, root,
+        ra_canopy, displacement_canopy, roughness_canopy, ref_height_canopy,
+        rainfall, moist_l, ice_l, wcr, wpwp, depth_l, resid_moist0, b_infilt,
+        max_moist_l,
+        # snow coupling
+        snow_coverage, surf_atten, include_snow=False, snow_terms=None,
+        grnd_flux_type: int = 1, frozen_soil: bool = False,
+        compute_evap: bool = True) -> SurfEBResult:
+    """Evaluate every term of the surface energy balance at candidate Ts."""
+    tmean = ts
+    tkelv = tmean + c.KELVIN
+
+    # thin-snow pack flux (func_surf_energy_bal.c:150-161)
+    if include_snow and snow_terms is not None:
+        kappa_snow, tsnow_surf, snow_swq, snow_water, snow_density, old_tsurf \
+            = snow_terms
+        snow_flux = kappa_snow * (tsnow_surf - tmean)
+    else:
+        snow_flux = jnp.zeros_like(tmean)
+
+    # quick-flux ground heat (func_surf_energy_bal.c:171-181)
+    t1 = estimate_t1(tmean, t1_old, t2, d1, d2, kappa1, kappa2, cs1, cs2, dp,
+                     delta_t)
+    cover_atten = snow_coverage + (1.0 - snow_coverage) * surf_atten
+    if grnd_flux_type == 0:  # GF_406
+        grnd_flux = cover_atten * (kappa1 / d1 * (t1 - tmean))
+    else:  # GF_410 / GF_FULL
+        grnd_flux = cover_atten * (
+            kappa1 / d1 * (t1 - tmean)
+            + (kappa2 / d2 * (1.0 - jnp.exp(-d1 / dp)) * (t2 - t1))) / 2.0
+
+    # heat storage between nodes 0 and 1 (func_surf_energy_bal.c:249-254)
+    delta_h_full = cs1 * ((ts_old + t1_old) - (tmean + t1)) * d1 / delta_t / 2.0
+    delta_h = jnp.where(grnd_flux_type == 2, cover_atten * delta_h_full,
+                        delta_h_full)
+
+    # fusion (func_surf_energy_bal.c:260-275)
+    if frozen_soil:
+        tavg01 = (tmean + t1) / 2.0
+        ice_new = jnp.where(
+            tavg01 < 0.0,
+            jnp.maximum(moist0_vol - maximum_unfrozen_water(
+                tavg01, max_moist0_vol, bubble0, expt0), 0.0),
+            0.0)
+        fusion_full = -c.ICE_DENSITY * c.LF * (ice0_vol - ice_new) * d1 / delta_t
+        fusion = jnp.where(
+            jnp.asarray(grnd_flux_type == 2),
+            cover_atten * fusion_full, fusion_full)
+        fusion = jnp.where(fs_active, fusion, 0.0)
+    else:
+        fusion = jnp.zeros_like(tmean)
+
+    # thin-snow cold content/refreeze (func_surf_energy_bal.c:279-286)
+    if include_snow and snow_terms is not None:
+        delta_cc = jnp.where(
+            tmean > 0.0,
+            c.CH_ICE * (snow_swq - snow_water) * (0.0 - old_tsurf) / delta_t,
+            c.CH_ICE * (snow_swq - snow_water) * (tmean - old_tsurf) / delta_t)
+        refreeze_energy = (snow_water * c.LF * snow_density) / delta_t
+        delta_cc = delta_cc * snow_coverage
+        refreeze_energy = refreeze_energy * snow_coverage
+    else:
+        delta_cc = jnp.zeros_like(tmean)
+        refreeze_energy = jnp.zeros_like(tmean)
+
+    # net radiation on snow-free area (func_surf_energy_bal.c:291-295)
+    long_bare_out = c.STEFAN_B * tkelv ** 4
+    net_long_bare = long_bare_in - (1.0 - snow_coverage) * long_bare_out
+    net_bare_rad = (shortwave_net_bare + net_long_bare + grnd_flux + delta_h
+                    + fusion)
+
+    # stability-corrected resistance (func_surf_energy_bal.c:298-310)
+    d_eff = jnp.where(overstory_snowing, 0.0, displacement)
+    ra_used = jnp.where(
+        wind > 0.0,
+        ra_under / stability_correction(z_ref, d_eff, tmean, tair, wind,
+                                        roughness),
+        c.HUGE_RESIST)
+
+    # evapotranspiration inside the residual (func_surf_energy_bal.c:320-336)
+    if compute_evap:
+        evap_veg, layer_evap_veg, cevap_veg, thrufall_veg, wdew_veg = \
+            canopy_evap(moist_l, ice_l, wcr, wpwp, root, depth_l,
+                        wdew, rainfall, wdmax, rmin, rgl, lai, rarc,
+                        net_bare_rad, shortwave_net_bare, vpd, tair, elevation,
+                        ra_canopy, delta_t)
+        evap_bare = arno_evap(moist_l[..., 0], ice_l[..., 0],
+                              max_moist_l[..., 0], depth_l[..., 0],
+                              resid_moist0, b_infilt, net_bare_rad, tair, vpd,
+                              elevation, ra_used, delta_t)
+        veg = jnp.logical_and(is_veg, lai > 0.0)
+        evap = jnp.where(veg, evap_veg, evap_bare)
+        layer_evap = jnp.where(
+            veg[..., None],
+            layer_evap_veg,
+            jnp.concatenate([evap_bare[..., None],
+                             jnp.zeros_like(layer_evap_veg[..., 1:])], -1))
+        canopy_evap_mm = jnp.where(veg, cevap_veg, 0.0)
+        throughfall = jnp.where(veg, thrufall_veg, rainfall)
+        wdew_new = jnp.where(veg, wdew_veg, wdew)
+    else:
+        evap = jnp.zeros_like(tmean)
+        layer_evap = jnp.zeros_like(moist_l)
+        canopy_evap_mm = jnp.zeros_like(tmean)
+        throughfall = rainfall
+        wdew_new = wdew
+
+    # latent heat (func_surf_energy_bal.c:339-363); evap in mm/step -> m/s
+    latent_heat = -c.RHO_W * latent_heat_le * (evap / 1000.0 / delta_t)
+    latent_heat_sub = jnp.zeros_like(tmean)
+    if include_snow and snow_terms is not None:
+        lat_s, lat_sub_s, _ = latent_heat_from_snow(
+            atmos_density, vp_air, latent_heat_le, atmos_pressure, ra_used,
+            tmean, vpd)
+        latent_heat = latent_heat + lat_s * snow_coverage
+        latent_heat_sub = lat_sub_s * snow_coverage
+    else:
+        latent_heat = latent_heat * (1.0 - snow_coverage)
+
+    # sensible heat (func_surf_energy_bal.c:366-372)
+    sensible = atmos_density * c.CP * (tair - tmean) / ra_used
+    if not include_snow:
+        sensible = sensible * (1.0 - snow_coverage)
+    sensible = jnp.where(
+        jnp.logical_and(snow_coverage >= 1.0,
+                        jnp.logical_not(include_snow)),
+        0.0, sensible)
+
+    error = (net_bare_rad + sensible + latent_heat + latent_heat_sub
+             + snow_flux * snow_coverage - delta_cc)
+    if include_snow and snow_terms is not None:
+        melt_branch = jnp.logical_and(tsnow_surf == 0.0,
+                                      error > -refreeze_energy)
+        refreeze_energy = jnp.where(melt_branch, -error, refreeze_energy)
+        error = jnp.where(melt_branch, 0.0, error + refreeze_energy)
+
+    return SurfEBResult(
+        error=error, t1=t1, grnd_flux=grnd_flux, delta_h=delta_h,
+        fusion=fusion, latent_heat=latent_heat,
+        latent_heat_sub=latent_heat_sub, sensible_heat=sensible,
+        snow_flux=snow_flux, net_long_bare=net_long_bare,
+        net_short_bare=shortwave_net_bare, evap=evap, layer_evap=layer_evap,
+        canopy_evap_mm=canopy_evap_mm, throughfall=throughfall,
+        wdew_new=wdew_new, refreeze_energy=refreeze_energy, delta_cc=delta_cc)
+
+
+def solve_surface_temperature(kwargs, t0_old, tair, full_energy: bool,
+                              include_snow: bool = False,
+                              max_iter: int = 30):
+    """Find the surface temperature and return (Ts, fbflag).
+
+    Water-balance mode: Ts = Tair, no iteration (calc_surf_energy_bal.c:300).
+    Full-energy mode: Brent on [mid-SURF_DT, mid+SURF_DT] with
+    mid = 0.5*(T0_old+Tair) (or [T0-SURF_DT, 0] with thin snow), TFALLBACK to
+    the bracket midpoint on failure."""
+    if not full_energy:
+        return tair, jnp.zeros_like(tair, dtype=bool)
+
+    if include_snow:
+        t_lower = t0_old - c.SURF_DT
+        t_upper = jnp.zeros_like(t0_old)
+    else:
+        mid = 0.5 * (t0_old + tair)
+        t_lower = mid - c.SURF_DT
+        t_upper = mid + c.SURF_DT
+
+    def resid(t):
+        return surf_energy_terms(t, compute_evap=True, **kwargs).error
+
+    res = batched_brent(resid, t_lower, t_upper, max_iter=max_iter)
+    ts = jnp.where(res.converged, res.root, t0_old)  # TFALLBACK
+    return ts, ~res.converged

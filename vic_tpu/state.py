@@ -1,0 +1,102 @@
+"""Prognostic model state as a single dense pytree.
+
+The reference scatters state across per-cell `HRU` objects
+(/root/reference/vicNl_def.h:1374-1399: `cell[2]` layers, `snow_data_struct`,
+`energy_bal_struct`, `veg_var`, `glac_data_struct`). Here the whole domain's
+prognostic state is one pytree of `[n_cell, max_hru, ...]` arrays — the scan
+carry for `lax.scan` over time and the checkpoint unit for orbax.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pytreeify(cls):
+    flds = [f.name for f in fields(cls)]
+
+    def flatten(obj):
+        return tuple(getattr(obj, n) for n in flds), None
+
+    def unflatten(_, children):
+        return cls(*children)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@_pytreeify
+@dataclass
+class ModelState:
+    """All prognostic variables. Shapes: [n_cell, max_hru] unless noted."""
+    # soil water (layer_data_struct)
+    moist: jnp.ndarray        # [c, h, n_layer] total layer moisture, mm
+    ice: jnp.ndarray          # [c, h, n_layer] frozen layer moisture, mm
+    # canopy (veg_var_struct)
+    wdew: jnp.ndarray         # canopy interception storage, mm
+    snow_canopy: jnp.ndarray  # canopy-intercepted snow, m
+    # snowpack (snow_data_struct; internal units m of water)
+    swq: jnp.ndarray
+    surf_temp: jnp.ndarray
+    pack_temp: jnp.ndarray
+    surf_water: jnp.ndarray
+    pack_water: jnp.ndarray
+    density: jnp.ndarray      # kg/m^3
+    depth: jnp.ndarray        # m
+    albedo: jnp.ndarray
+    last_snow: jnp.ndarray    # int32 steps since last snowfall
+    melting: jnp.ndarray      # bool
+    coverage: jnp.ndarray
+    cold_content: jnp.ndarray  # J/m^2 surface-layer cold content
+    snow_flag: jnp.ndarray    # bool: snow present during step
+    # energy (energy_bal_struct)
+    node_temp: jnp.ndarray    # [c, h, n_node] soil node temperatures, C
+    tfoliage: jnp.ndarray
+    # glacier (glac_data_struct)
+    glac_water_storage: jnp.ndarray
+    glac_cum_mass_balance: jnp.ndarray
+    glac_surf_temp: jnp.ndarray
+    # fallback counters (FallBackStats)
+    surf_temp_fbcount: jnp.ndarray  # int32
+    snow_temp_fbcount: jnp.ndarray  # int32
+
+
+def initial_state(domain, gp, surf_temp_init=None, dtype=jnp.float32
+                  ) -> ModelState:
+    """Cold-start state (initialize_model_state.c:505-545 QUICK_FLUX case:
+    node temps = [surf_temp, surf_temp, avg_temp]; layer moisture from
+    soil init_moist; everything else zero)."""
+    n_cell, max_hru = domain.hru.mask.shape
+    nl = domain.soil.depth.shape[1]
+    n_node = max(gp.nnode, 3)
+    sh = (n_cell, max_hru)
+
+    Z = lambda *s: jnp.zeros(sh + s, dtype)
+    moist = jnp.broadcast_to(
+        jnp.asarray(domain.soil.init_moist, dtype)[:, None, :],
+        sh + (nl,)).copy()
+
+    if surf_temp_init is None:
+        surf_temp_init = jnp.asarray(domain.soil.avg_temp, dtype)
+    t_surf = jnp.broadcast_to(surf_temp_init[:, None], sh)
+    t_bot = jnp.broadcast_to(
+        jnp.asarray(domain.soil.avg_temp, dtype)[:, None], sh)
+    node_temp = jnp.concatenate(
+        [t_surf[..., None], t_surf[..., None],
+         jnp.repeat(t_bot[..., None], n_node - 2, axis=-1)], axis=-1)
+
+    return ModelState(
+        moist=moist, ice=Z(nl), wdew=Z(), snow_canopy=Z(),
+        swq=Z(), surf_temp=Z(), pack_temp=Z(), surf_water=Z(), pack_water=Z(),
+        density=Z(), depth=Z(), albedo=Z(),
+        last_snow=jnp.zeros(sh, jnp.int32),
+        melting=jnp.zeros(sh, bool), coverage=Z(), cold_content=Z(),
+        snow_flag=jnp.zeros(sh, bool),
+        node_temp=node_temp, tfoliage=Z(),
+        glac_water_storage=Z(), glac_cum_mass_balance=Z(), glac_surf_temp=Z(),
+        surf_temp_fbcount=jnp.zeros(sh, jnp.int32),
+        snow_temp_fbcount=jnp.zeros(sh, jnp.int32),
+    )
