@@ -1,0 +1,123 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vic_tpu.config import GlobalParams
+from vic_tpu.model import make_forcing_stack, run
+from vic_tpu.physics.frozen_soil import (build_node_geometry,
+                                         estimate_layer_ice,
+                                         solve_t_profile_explicit,
+                                         distribute_node_moisture)
+from vic_tpu.physics.soil_thermal import maximum_unfrozen_water
+from vic_tpu.prepare import prepare_domain
+from vic_tpu.state import initial_state
+from vic_tpu.testing import synthetic_domain, synthetic_forcing
+from vic_tpu.timeaxis import make_time_axis
+
+
+def test_node_geometry_quickflux():
+    gp = GlobalParams(nlayer=3, nnode=3, quick_flux=True)
+    dom = synthetic_domain(n_cell=3)
+    geom = build_node_geometry(dom.soil, gp)
+    np.testing.assert_allclose(geom.zsum[:, 0], 0.0)
+    np.testing.assert_allclose(geom.zsum[:, 1], dom.soil.depth[:, 0])
+    np.testing.assert_allclose(geom.zsum[:, 2], dom.soil.dp)
+
+
+def test_node_geometry_fd():
+    gp = GlobalParams(nlayer=3, nnode=10, quick_flux=False, frozen_soil=True)
+    dom = synthetic_domain(n_cell=3)
+    geom = build_node_geometry(dom.soil, gp)
+    # monotonic, ends at damping depth
+    assert (np.diff(geom.zsum, axis=1) > 0).all()
+    np.testing.assert_allclose(geom.zsum[:, -1], dom.soil.dp, rtol=1e-6)
+    # trapezoid weights integrate a constant exactly
+    ones = np.ones_like(geom.samp_trap)
+    np.testing.assert_allclose((geom.samp_trap * ones).sum(-1), 1.0,
+                               atol=1e-6)
+
+
+def test_layer_average_linear_profile():
+    """Layer-averaging of a linear T(z) profile must be exact."""
+    gp = GlobalParams(nlayer=3, nnode=8, quick_flux=False, frozen_soil=True)
+    dom = synthetic_domain(n_cell=2)
+    geom = build_node_geometry(dom.soil, gp)
+    params = prepare_domain(dom, gp)
+    slope, icept = 3.0, -5.0
+    node_t = jnp.asarray(icept + slope * geom.zsum, jnp.float32)[:, None, :]
+    node_t = jnp.tile(node_t, (1, 4, 1))
+    moist = jnp.tile(jnp.asarray(dom.soil.init_moist, jnp.float32)[:, None, :],
+                     (1, 4, 1))
+    layer_t, _ = estimate_layer_ice(node_t, moist, geom, params, frozen=False)
+    # analytic layer mean of linear profile = value at layer midpoint
+    lsum = np.concatenate([np.zeros((2, 1)), np.cumsum(dom.soil.depth, 1)], 1)
+    mid = (lsum[:, :-1] + lsum[:, 1:]) / 2
+    np.testing.assert_allclose(np.asarray(layer_t[:, 0, :]),
+                               icept + slope * mid, rtol=1e-4, atol=1e-3)
+
+
+def test_explicit_profile_relaxes_toward_boundary():
+    """Warm surface over cold column: profile must warm monotonically in time
+    and stay bounded by [bottom, surface] temps."""
+    gp = GlobalParams(nlayer=3, nnode=8, quick_flux=False, frozen_soil=True)
+    dom = synthetic_domain(n_cell=2)
+    geom = build_node_geometry(dom.soil, gp)
+    params = prepare_domain(dom, gp)
+    sh = (2, 3, 8)
+    t0 = jnp.full(sh, -5.0)
+    surf = jnp.full(sh[:2], 10.0)
+    moist = jnp.tile(jnp.asarray(dom.soil.init_moist, jnp.float32)[:, None, :],
+                     (1, 3, 1))
+    nodep = distribute_node_moisture(moist, t0, geom, params, frozen=True)
+    T = t0
+    prev_mean = float(T.mean())
+    for i in range(3):
+        res = solve_t_profile_explicit(
+            T, surf, nodep["kappa"], nodep["cs"], nodep["moist"],
+            nodep["ice"], geom, params, 86400.0, noflux=False,
+            exp_trans=False, frozen=True)
+        T = res.temp
+        assert bool(jnp.isfinite(T).all())
+        m = float(T.mean())
+        if i == 0:
+            assert m > prev_mean + 0.5  # first step must warm clearly
+        else:
+            assert m >= prev_mean - 1e-4  # then non-decreasing to equilibrium
+        prev_mean = m
+    assert float(T.max()) <= 10.0 + 1e-3
+    assert float(T.min()) >= -5.0 - c_soil_dt_slack()
+
+
+def c_soil_dt_slack():
+    return 0.3  # root-solve bracket slack
+
+
+def test_unfrozen_water_curve():
+    # colder -> less liquid; above 0 all liquid
+    t = jnp.array([-10.0, -1.0, -0.1, 0.5])
+    uf = maximum_unfrozen_water(t, 0.4, 10.0, 10.0)
+    assert float(uf[3]) == pytest.approx(0.4)
+    assert float(uf[0]) < float(uf[1]) < float(uf[2]) <= 0.4
+
+
+class TestFrozenSoilMode:
+    def test_full_fd_run(self):
+        gp = GlobalParams(dt=24, nlayer=3, nnode=8, startyear=1995,
+                          nrecs=40, full_energy=True, frozen_soil=True,
+                          quick_flux=False)
+        dom = synthetic_domain(n_cell=4)
+        params = prepare_domain(dom, gp)
+        geom = build_node_geometry(dom.soil, gp)
+        ax = make_time_axis(1995, 1, 1, 0, 40, 24)
+        forc = synthetic_forcing(40, 4)
+        forc["air_temp"] -= 10.0  # push into freezing regime
+        stack = make_forcing_stack(forc, ax)
+        st = initial_state(dom, gp)
+        fs, outs = jax.jit(lambda s, f: run(s, f, params, gp, geom))(st, stack)
+        assert bool(jnp.isfinite(fs.node_temp).all())
+        assert bool(jnp.isfinite(outs.runoff).all())
+        # some soil ice must form in a -10C-shifted winter
+        assert float(fs.ice.max()) > 0.0
+        # closure still holds (evap/ice interplay)
+        assert float(jnp.abs(outs.water_error).max()) < 0.05

@@ -52,18 +52,25 @@ class StepOutputs(NamedTuple):
     glac_outflow: jnp.ndarray
 
 
-def make_step(params: DeviceParams, gp):
+def make_step(params: DeviceParams, gp, geom=None):
     """Build the jittable per-record step(state, forcing) -> (state, outputs).
 
     forcing: dict with [n_cell] arrays 'prec' (mm/step), 'air_temp' (C),
     'wind' (m/s), 'shortwave', 'longwave' (W/m^2), 'pressure' (Pa), 'vp' (Pa),
     'density' (kg/m^3), and int32 scalars 'month' (1-12), 'day_in_year'.
+
+    geom: NodeGeometry (physics.frozen_soil.build_node_geometry) — required
+    when gp.frozen_soil (layer-ice estimation and, with QUICK_FLUX=FALSE, the
+    finite-difference node solve).
     """
     dt_hours = gp.dt
     dt_sec = float(dt_hours) * 3600.0
     full_energy = gp.full_energy
     frozen = gp.frozen_soil
     nl = gp.nlayer
+    if frozen and geom is None:
+        raise ValueError("frozen_soil requires a NodeGeometry (geom=)")
+    fd_nodes = frozen and not gp.quick_flux  # finite-difference node profile
 
     def step(state: ModelState, forcing):
         p = params
@@ -282,6 +289,22 @@ def make_step(params: DeviceParams, gp):
                                            max_iter=gp.brent_maxiter)
         eb = surf_energy_terms(ts, compute_evap=True, **eb_kwargs)
 
+        # ---- finite-difference node profile (FROZEN_SOIL, QUICK_FLUX=F) ----
+        # (func_surf_energy_bal.c:185-228 solve_T_profile; here solved once at
+        # the converged Ts rather than inside every Brent iterate — the
+        # quick-flux T1 drives the residual, matching QUICK_SOLVE's spirit)
+        if fd_nodes:
+            from .physics.frozen_soil import (distribute_node_moisture,
+                                              estimate_layer_ice,
+                                              solve_t_profile_explicit)
+            nodep = distribute_node_moisture(moist0, state.node_temp, geom,
+                                             p, frozen=True)
+            prof = solve_t_profile_explicit(
+                state.node_temp, ts, nodep["kappa"], nodep["cs"],
+                nodep["moist"], nodep["ice"], geom, p, dt_sec,
+                noflux=gp.noflux, exp_trans=gp.exp_trans, frozen=True,
+                max_sweeps=gp.soil_sweep_maxiter)
+
         # suppress soil/canopy ET for snow-covered or snowing lanes
         # (func_surf_energy_bal.c:320: Evap=0 when SNOWING)
         no_soil_evap = jnp.logical_or(snowing, glacier)
@@ -303,16 +326,27 @@ def make_step(params: DeviceParams, gp):
             B(p.expt), B(p.b_infilt), B(p.ds), B(p.dsmax), B(p.ws),
             B(p.c_expt), dt_hours)
 
-        # ---- node temperatures (QUICK_FLUX path: [Ts, T1, T2]) -------------
-        node_temp = state.node_temp
-        node_temp = node_temp.at[..., 0].set(ts)
-        node_temp = node_temp.at[..., 1].set(eb.t1)
+        # ---- node temperatures + layer ice ---------------------------------
+        if fd_nodes:
+            node_temp = prof.temp
+        else:
+            # QUICK_FLUX path: nodes = [Ts, T1, T2] (calc_surf_energy_bal)
+            node_temp = state.node_temp
+            node_temp = node_temp.at[..., 0].set(ts)
+            node_temp = node_temp.at[..., 1].set(eb.t1)
+
+        if frozen:
+            from .physics.frozen_soil import estimate_layer_ice
+            _, ice_new = estimate_layer_ice(node_temp, ro.moist, geom, p,
+                                            frozen=True)
+        else:
+            ice_new = ice0
 
         snow_sub_mm = vapor_flux * 1000.0  # m/step -> mm (loss positive)
         total_evap = evap_sfree + snow_sub_mm
 
         new_state = ModelState(
-            moist=ro.moist, ice=ice0, wdew=wdew_new,
+            moist=ro.moist, ice=ice_new, wdew=wdew_new,
             snow_canopy=state.snow_canopy,
             swq=swq, surf_temp=surf_temp, pack_temp=pack_temp,
             surf_water=surf_water, pack_water=pack_water,
@@ -368,10 +402,11 @@ def surf_atten_of(lai, p: DeviceParams):
     return jnp.where(p.overstory, jnp.exp(-p.rad_atten * lai), 1.0)
 
 
-def run(state: ModelState, forcing_stacked: dict, params: DeviceParams, gp):
+def run(state: ModelState, forcing_stacked: dict, params: DeviceParams, gp,
+        geom=None):
     """Scan the step over [n_rec, ...] stacked forcing. Returns
     (final_state, StepOutputs stacked over records)."""
-    step = make_step(params, gp)
+    step = make_step(params, gp, geom)
 
     def body(carry, forc):
         return step(carry, forc)

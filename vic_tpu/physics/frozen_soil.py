@@ -1,0 +1,456 @@
+"""Frozen-soil finite-difference thermal solver on the node profile.
+
+Batched re-expression of /root/reference/frozen_soil.c and the node plumbing in
+/root/reference/soil_conduction.c:
+
+- node geometry (initialize_model_state.c:505-660): QUICK_FLUX 3-node,
+  linear ([0, d0, 2*d0, ..., dp]) and EXP_TRANS (Zsum = exp(b*i)-1) spacings;
+- set_node_parameters / distribute_node_moisture_properties
+  (soil_conduction.c:142-440): node->layer parameter gathers, node moisture/
+  ice/conductivity/heat capacity;
+- solve_T_profile explicit scheme (frozen_soil.c:105-230 coefficient setup,
+  305-430 Gauss-Seidel sweep; Cherkauer & Lettenmaier 1999 eq. 8) with the
+  per-node root solve for sub-freezing nodes (SoilThermalEqn,
+  soil_thermal_eqn.c) and TFALLBACK;
+- solve_T_profile_implicit (frozen_soil.c:229-300 + fda_heat_eqn residual):
+  Newton-Raphson over the node system with a batched tridiagonal Jacobian
+  solve (replacing newt_raph_func_fast.c's dense LU);
+- estimate_layer_ice_content (soil_conduction.c:444-616): layer-average T and
+  ice from node temperatures.
+
+TPU-first structure: everything data-dependent about the node/layer mapping
+(which layer a node falls in, the trapezoid sample points for layer averaging)
+is PRECOMPUTED host-side per cell into gather-index/weight arrays
+(`NodeGeometry`), so the device kernels are pure batched gathers + arithmetic.
+The Gauss-Seidel sweep runs under `lax.while_loop` with a max-diff convergence
+predicate; sub-freezing nodes use fixed-budget bisection on [T0-SOIL_DT,
+T0+SOIL_DT] instead of scalar Brent.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as c
+from .soil_thermal import (maximum_unfrozen_water, soil_conductivity,
+                           volumetric_heat_capacity)
+
+
+def _pytreeify(cls):
+    flds = [f.name for f in fields(cls)]
+    jax.tree_util.register_pytree_node(
+        cls, lambda o: (tuple(getattr(o, n) for n in flds), None),
+        lambda _, ch: cls(*ch))
+    return cls
+
+
+@_pytreeify
+@dataclass
+class NodeGeometry:
+    """Static node-profile geometry, [n_cell, n_node] unless noted."""
+    zsum: np.ndarray          # node depth (m)
+    dz: np.ndarray            # node thickness (m)
+    alpha: np.ndarray         # Zsum[j+1]-Zsum[j-1] (padded; soil_conduction.c:266)
+    beta: np.ndarray          # Zsum[j]-Zsum[j-1]
+    gamma: np.ndarray         # Zsum[j+1]-Zsum[j]
+    node_layer: np.ndarray    # int32: soil layer containing each node
+    on_boundary: np.ndarray   # bool: node exactly on a layer interface
+    max_moist_node: np.ndarray  # mm/mm
+    expt_node: np.ndarray
+    bubble_node: np.ndarray
+    # layer-averaging samples: [n_cell, n_layer, ns]
+    samp_i0: np.ndarray       # int32 lower node index
+    samp_w: np.ndarray        # weight of node i0+1 (1-w on i0)
+    samp_trap: np.ndarray     # trapezoid weight / layer depth
+    bexp: np.ndarray          # [n_cell] EXP_TRANS exponent (0 if unused)
+
+    @property
+    def n_node(self):
+        return self.zsum.shape[1]
+
+
+def build_node_geometry(soil, gp) -> NodeGeometry:
+    """Host-side construction (initialize_model_state.c:505-660 +
+    set_node_parameters + the layer-averaging sample maps)."""
+    n_cell = soil.n_cell
+    nn = max(gp.nnode, 3)
+    nl = gp.nlayer
+    depth = np.asarray(soil.depth, np.float64)
+    dp = np.asarray(soil.dp, np.float64)
+
+    zsum = np.zeros((n_cell, nn))
+    dz = np.zeros((n_cell, nn))
+    bexp = np.zeros(n_cell)
+
+    if gp.quick_flux:
+        # QUICK_FLUX 3-node geometry (initialize_model_state.c:507-513)
+        zsum[:, 0] = 0.0
+        zsum[:, 1] = depth[:, 0]
+        zsum[:, 2] = dp
+        dz[:, 0] = depth[:, 0]
+        dz[:, 1] = depth[:, 0]
+        dz[:, 2] = 2.0 * (dp - 1.5 * depth[:, 0])
+        for j in range(3, nn):
+            zsum[:, j] = dp  # unused nodes pinned at damping depth
+    elif gp.exp_trans:
+        bexp = np.log(dp + 1.0) / (nn - 1)
+        for j in range(nn):
+            zsum[:, j] = np.exp(bexp * j) - 1.0
+        dz[:, :-1] = np.diff(zsum, axis=1)
+        dz[:, -1] = dz[:, -2]
+    else:
+        # linear-ish spacing (initialize_model_state.c:560-600)
+        d0 = depth[:, 0]
+        zsum[:, 0] = 0.0
+        zsum[:, 1] = d0
+        zsum[:, 2] = 2.0 * d0
+        dz[:, 0] = d0
+        dz[:, 1] = d0
+        dz[:, 2] = d0
+        tmpdp = dp - d0 * 2.5
+        tmpadj = 3.5
+        z = 2.0 * d0
+        for j in range(3, nn - 1):
+            dz[:, j] = tmpdp / (nn - tmpadj)
+            z = z + (dz[:, j] + dz[:, j - 1]) / 2.0
+            zsum[:, j] = z
+        dz[:, nn - 1] = (dp - z - dz[:, nn - 2] / 2.0) * 2.0
+        zsum[:, nn - 1] = z + (dz[:, nn - 2] + dz[:, nn - 1]) / 2.0
+
+    # finite-difference spacings (soil_conduction.c:262-275)
+    alpha = np.zeros((n_cell, nn))
+    beta = np.zeros((n_cell, nn))
+    gamma = np.zeros((n_cell, nn))
+    for j in range(1, nn - 1):
+        alpha[:, j] = zsum[:, j + 1] - zsum[:, j - 1]
+        beta[:, j] = zsum[:, j] - zsum[:, j - 1]
+        gamma[:, j] = zsum[:, j + 1] - zsum[:, j]
+    # NOFLUX bottom-node spacings (soil_conduction.c:272-274)
+    alpha[:, nn - 1] = 2.0 * (zsum[:, nn - 1] - zsum[:, nn - 2])
+    beta[:, nn - 1] = zsum[:, nn - 1] - zsum[:, nn - 2]
+    gamma[:, nn - 1] = zsum[:, nn - 1] - zsum[:, nn - 2]
+    alpha = np.maximum(alpha, 1e-6)
+    beta = np.maximum(beta, 1e-6)
+    gamma = np.maximum(gamma, 1e-6)
+
+    # node -> layer mapping (set_node_parameters walk, soil_conduction.c:142+)
+    lsum = np.concatenate([np.zeros((n_cell, 1)), np.cumsum(depth, 1)], 1)
+    node_layer = np.zeros((n_cell, nn), np.int32)
+    on_boundary = np.zeros((n_cell, nn), bool)
+    for ci in range(n_cell):
+        for j in range(nn):
+            z = zsum[ci, j]
+            l = int(np.searchsorted(lsum[ci, 1:], z + 1e-12))
+            l = min(l, nl - 1)
+            node_layer[ci, j] = l
+            if j != 0 and l != nl - 1 and abs(z - lsum[ci, l + 1]) < 1e-12:
+                on_boundary[ci, j] = True
+
+    gidx = np.arange(n_cell)[:, None]
+    max_moist_vol = np.asarray(soil.max_moist) / (depth * 1000.0)
+    max_moist_node = max_moist_vol[gidx, node_layer]
+    expt_node = np.asarray(soil.expt)[gidx, node_layer]
+    bubble_node = np.asarray(soil.bubble)[gidx, node_layer]
+    # boundary nodes average the two adjacent layers (set_node_parameters)
+    nl_up = np.maximum(node_layer - 0, 0)
+    nl_dn = np.minimum(node_layer + 1, nl - 1)
+    for arr, src in ((max_moist_node, max_moist_vol),
+                     (expt_node, np.asarray(soil.expt)),
+                     (bubble_node, np.asarray(soil.bubble))):
+        avg = (src[gidx, nl_up] + src[gidx, nl_dn]) / 2.0
+        arr[on_boundary] = avg[on_boundary]
+
+    # layer-averaging trapezoid samples (estimate_layer_ice_content)
+    ns = nn + 2
+    samp_i0 = np.zeros((n_cell, nl, ns), np.int32)
+    samp_w = np.zeros((n_cell, nl, ns))
+    samp_trap = np.zeros((n_cell, nl, ns))
+    for ci in range(n_cell):
+        for l in range(nl):
+            z_top, z_bot = lsum[ci, l], lsum[ci, l + 1]
+            zs = zsum[ci]
+            inner = [j for j in range(nn) if z_top < zs[j] < z_bot]
+            pts = [z_top] + [zs[j] for j in inner] + [z_bot]
+            m = len(pts)
+            # interp coefficients for each point
+            for k, z in enumerate(pts):
+                j = int(np.clip(np.searchsorted(zs, z, "right") - 1, 0, nn - 2))
+                w = (z - zs[j]) / max(zs[j + 1] - zs[j], 1e-12)
+                samp_i0[ci, l, k] = j
+                samp_w[ci, l, k] = np.clip(w, 0.0, 1.0)
+            # trapezoid weights
+            for k in range(m):
+                left = pts[k] - pts[k - 1] if k > 0 else 0.0
+                right = pts[k + 1] - pts[k] if k < m - 1 else 0.0
+                samp_trap[ci, l, k] = 0.5 * (left + right) / max(
+                    z_bot - z_top, 1e-12)
+
+    return NodeGeometry(
+        zsum=zsum, dz=dz, alpha=alpha, beta=beta, gamma=gamma,
+        node_layer=node_layer, on_boundary=on_boundary,
+        max_moist_node=max_moist_node, expt_node=expt_node,
+        bubble_node=bubble_node, samp_i0=samp_i0, samp_w=samp_w,
+        samp_trap=samp_trap, bexp=bexp)
+
+
+def _gather_layer(arr_l, node_layer):
+    """arr_l [c, nl] -> [c, 1, nn] per-node values via layer index."""
+    return jnp.take_along_axis(arr_l, node_layer, axis=-1)
+
+
+def distribute_node_moisture(moist_mm, node_temp, geom: NodeGeometry, params,
+                             frozen: bool):
+    """Node moisture/ice/kappa/Cs from layer moisture
+    (soil_conduction.c:304-440).
+
+    moist_mm: [c, h, nl]; node_temp: [c, h, nn]. Returns dict of [c, h, nn].
+    """
+    nl_idx = geom.node_layer[:, None, :]  # [c,1,nn]
+    depth = params.depth[:, None, :]      # [c,1,nl]
+    moist_vol = moist_mm / (depth * 1000.0)
+
+    def g(a):  # layer array [c,1,nl] -> per node [c,h,nn]
+        return jnp.take_along_axis(
+            jnp.broadcast_to(a, moist_vol.shape[:2] + (a.shape[-1],)),
+            jnp.broadcast_to(nl_idx, moist_vol.shape[:2] + (nl_idx.shape[-1],)),
+            axis=-1)
+
+    moist_node = g(moist_vol)
+    # boundary nodes average adjacent layers (soil_conduction.c:365-370)
+    nlayers = moist_vol.shape[-1]
+    nl_dn = jnp.minimum(geom.node_layer + 1, nlayers - 1)[:, None, :]
+    moist_dn = jnp.take_along_axis(
+        jnp.broadcast_to(moist_vol, moist_vol.shape),
+        jnp.broadcast_to(nl_dn, moist_vol.shape[:2] + (nl_dn.shape[-1],)),
+        axis=-1)
+    ob = geom.on_boundary[:, None, :]
+    moist_node = jnp.where(ob, (moist_node + moist_dn) / 2.0, moist_node)
+    moist_node = jnp.minimum(moist_node, geom.max_moist_node[:, None, :])
+
+    if frozen:
+        ice_node = jnp.maximum(
+            moist_node - maximum_unfrozen_water(
+                node_temp, geom.max_moist_node[:, None, :],
+                geom.bubble_node[:, None, :], geom.expt_node[:, None, :]),
+            0.0)
+        ice_node = jnp.where(params.fs_active[:, None, None], ice_node, 0.0)
+    else:
+        ice_node = jnp.zeros_like(moist_node)
+
+    kappa = soil_conductivity(
+        moist_node, moist_node - ice_node,
+        g(params.soil_dens_min[:, None, :]), g(params.bulk_dens_min[:, None, :]),
+        g(params.quartz[:, None, :]), g(params.soil_density[:, None, :]),
+        g(params.bulk_density[:, None, :]), g(params.organic[:, None, :]))
+    cs = volumetric_heat_capacity(
+        g((params.bulk_density / params.soil_density)[:, None, :]),
+        moist_node - ice_node, ice_node, g(params.organic[:, None, :]))
+    return dict(moist=moist_node, ice=ice_node, kappa=kappa, cs=cs)
+
+
+class ProfileResult(NamedTuple):
+    temp: jnp.ndarray       # [c, h, nn] new node temperatures
+    fbcount: jnp.ndarray    # [c, h] nodes that hit TFALLBACK
+    iterations: jnp.ndarray
+
+
+def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
+                             geom: NodeGeometry, params, dt_sec,
+                             noflux: bool, exp_trans: bool, frozen: bool,
+                             max_sweeps: int = 30, bisect_iters: int = 16
+                             ) -> ProfileResult:
+    """Explicit Gauss-Seidel node sweep (frozen_soil.c:305-430).
+
+    t0: [c,h,nn] previous temps; surf_temp: [c,h] boundary condition (node 0).
+    kappa/cs/moist_node/ice0_node: [c,h,nn] at the OLD temperatures.
+    """
+    nn = t0.shape[-1]
+    B1 = lambda a: a[:, None, :]
+    alpha, beta, gamma = B1(geom.alpha), B1(geom.beta), B1(geom.gamma)
+    zsum = B1(geom.zsum)
+    mmax = B1(geom.max_moist_node)
+    bub = B1(geom.bubble_node)
+    expt = B1(geom.expt_node)
+    deltat = dt_sec
+    fs = params.fs_active[:, None, None] if frozen else False
+
+    if exp_trans:
+        bexp = geom.bexp[:, None, None]
+
+    # coefficient arrays (frozen_soil.c:168-212), [c,h,nn] padded
+    kap_p1 = jnp.roll(kappa, -1, axis=-1)
+    kap_m1 = jnp.roll(kappa, 1, axis=-1)
+    if not exp_trans:
+        A = cs * alpha * alpha
+        B = (kap_p1 - kap_m1) * deltat
+        B_last = (kappa - kap_m1) * deltat
+        C = 2.0 * deltat * kappa * alpha / gamma
+        D = 2.0 * deltat * kappa * alpha / beta
+        E = c.ICE_DENSITY * c.LF * alpha * alpha
+    else:
+        zp1 = zsum + 1.0
+        A = 4.0 * bexp * bexp * cs * zp1 * zp1
+        B = (kap_p1 - kap_m1) * deltat
+        B_last = (kappa - kap_m1) * deltat
+        C = 4.0 * deltat * kappa
+        D = 2.0 * deltat * kappa * bexp
+        E = 4.0 * bexp * bexp * c.ICE_DENSITY * c.LF * zp1 * zp1
+
+    def ice_at(t, j):
+        if not frozen:
+            return jnp.zeros_like(t)
+        iw = jnp.maximum(
+            moist_node[..., j]
+            - maximum_unfrozen_water(t, mmax[..., j], bub[..., j],
+                                     expt[..., j]), 0.0)
+        return jnp.where(fs[..., 0], jnp.minimum(iw, mmax[..., j]), 0.0)
+
+    def node_residual(t, j, T, tl_idx, tu_idx):
+        """SoilThermalEqn::calculate at node j (soil_thermal_eqn.c)."""
+        tl = T[..., tl_idx]
+        tu = T[..., tu_idx]
+        ice = jnp.where(t < 0.0, ice_at(t, j), 0.0)
+        if not exp_trans:
+            val = (-A[..., j] * (t - t0[..., j]) + B[..., j] * (tl - tu)
+                   + C[..., j] * (tl - t) - D[..., j] * (t - tu)
+                   + E[..., j] * (ice - ice0_node[..., j]))
+        else:
+            val = (-A[..., j] * (t - t0[..., j]) + B[..., j] * (tl - tu)
+                   + C[..., j] * (tl - 2.0 * t + tu) - D[..., j] * (tl - tu)
+                   + E[..., j] * (ice - ice0_node[..., j]))
+        return val
+
+    def sweep(T):
+        fb = jnp.zeros(T.shape[:-1], jnp.int32)
+        maxdiff = jnp.zeros(T.shape[:-1], T.dtype)
+        for j in range(1, nn - 1):
+            oldT = T[..., j]
+            tl = T[..., j + 1]
+            tu = T[..., j - 1]
+            # unfrozen closed-form update (frozen_soil.c:390-392)
+            if not exp_trans:
+                t_lin = (A[..., j] * t0[..., j] + B[..., j] * (tl - tu)
+                         + C[..., j] * tl + D[..., j] * tu
+                         + E[..., j] * (0.0 - ice0_node[..., j])) / (
+                    A[..., j] + C[..., j] + D[..., j])
+            else:
+                t_lin = (A[..., j] * t0[..., j] + B[..., j] * (tl - tu)
+                         + C[..., j] * (tl + tu) - D[..., j] * (tl - tu)
+                         + E[..., j] * (0.0 - ice0_node[..., j])) / (
+                    A[..., j] + 2.0 * C[..., j])
+            if frozen:
+                # frozen node: bisection on [T0-SOIL_DT, T0+SOIL_DT]
+                lo = t0[..., j] - c.SOIL_DT
+                hi = t0[..., j] + c.SOIL_DT
+                f_lo = node_residual(lo, j, T, j + 1, j - 1)
+                f_hi = node_residual(hi, j, T, j + 1, j - 1)
+                bracketed = f_lo * f_hi < 0.0
+
+                def bis_body(_, carry):
+                    lo_, hi_, flo_ = carry
+                    mid = 0.5 * (lo_ + hi_)
+                    fm = node_residual(mid, j, T, j + 1, j - 1)
+                    left = flo_ * fm <= 0.0
+                    return (jnp.where(left, lo_, mid),
+                            jnp.where(left, mid, hi_),
+                            jnp.where(left, flo_, fm))
+
+                lo_f, hi_f, _ = jax.lax.fori_loop(
+                    0, bisect_iters, bis_body, (lo, hi, f_lo))
+                t_root = 0.5 * (lo_f + hi_f)
+                # TFALLBACK when unbracketed (frozen_soil.c:404-418)
+                t_frozen = jnp.where(bracketed, t_root, t0[..., j])
+                use_root = jnp.logical_and(oldT < 0.0,
+                                           jnp.asarray(fs)[..., 0]
+                                           if frozen else False)
+                t_new = jnp.where(use_root, t_frozen, t_lin)
+                fb = fb + jnp.where(
+                    jnp.logical_and(use_root, ~bracketed), 1, 0)
+            else:
+                t_new = t_lin
+            T = T.at[..., j].set(t_new)
+            maxdiff = jnp.maximum(maxdiff, jnp.abs(oldT - t_new))
+
+        if noflux:
+            j = nn - 1
+            oldT = T[..., j]
+            tl = T[..., j]      # no-flux: mirror (uses B_last coefficient set)
+            tu = T[..., j - 1]
+            if not exp_trans:
+                t_lin = (A[..., j] * t0[..., j] + B_last[..., j] * (tl - tu)
+                         + C[..., j] * tl + D[..., j] * tu
+                         + E[..., j] * (0.0 - ice0_node[..., j])) / (
+                    A[..., j] + C[..., j] + D[..., j])
+            else:
+                t_lin = (A[..., j] * t0[..., j] + B_last[..., j] * (tl - tu)
+                         + C[..., j] * (tl + tu) - D[..., j] * (tl - tu)
+                         + E[..., j] * (0.0 - ice0_node[..., j])) / (
+                    A[..., j] + 2.0 * C[..., j])
+            T = T.at[..., j].set(t_lin)
+            maxdiff = jnp.maximum(maxdiff, jnp.abs(oldT - t_lin))
+        return T, fb, maxdiff
+
+    T_init = t0.at[..., 0].set(surf_temp)
+
+    def cond(carry):
+        _, i, maxdiff, _ = carry
+        return jnp.logical_and(i < max_sweeps, maxdiff > 1e-2)
+
+    def body(carry):
+        T, i, _, fb_tot = carry
+        T, fb, maxdiff = sweep(T)
+        return T, i + 1, jnp.max(maxdiff), fb_tot + fb
+
+    T, iters, _, fb = jax.lax.while_loop(
+        cond, body, (T_init, jnp.int32(0), jnp.asarray(1.0, t0.dtype),
+                     jnp.zeros(t0.shape[:-1], jnp.int32)))
+    return ProfileResult(temp=T, fbcount=fb, iterations=iters)
+
+
+def estimate_layer_ice(node_temp, moist_mm, geom: NodeGeometry, params,
+                       frozen: bool):
+    """Layer-average temperature and ice content from node temperatures
+    (soil_conduction.c:444-616), via the precomputed trapezoid sample maps.
+
+    node_temp: [c,h,nn]; moist_mm: [c,h,nl]. Returns (layer_T, layer_ice_mm).
+    """
+    nn = node_temp.shape[-1]
+    bshape = node_temp.shape[:2]
+    nlayers = moist_mm.shape[-1]
+    ns = geom.samp_i0.shape[-1]
+
+    i0 = geom.samp_i0[:, None, :, :]                      # [c,1,nl,ns]
+    w = jnp.asarray(geom.samp_w)[:, None, :, :]
+    trap = jnp.asarray(geom.samp_trap)[:, None, :, :]
+
+    def take_nodes(idx):
+        flat = jnp.reshape(idx, idx.shape[:2] + (-1,))
+        got = jnp.take_along_axis(
+            jnp.broadcast_to(node_temp, bshape + (nn,)),
+            jnp.broadcast_to(flat, bshape + (flat.shape[-1],)), axis=-1)
+        return jnp.reshape(got, idx.shape)
+
+    i0b = jnp.broadcast_to(i0, bshape + i0.shape[2:])
+    t_lo = take_nodes(i0b)
+    t_hi = take_nodes(jnp.minimum(i0b + 1, nn - 1))
+    t_samp = (1.0 - w) * t_lo + w * t_hi                 # [c,h,nl,ns]
+
+    layer_t = (t_samp * trap).sum(-1)
+
+    if frozen:
+        mm = params.max_moist[:, None, :, None]
+        bub = params.bubble[:, None, :, None]
+        expt = params.expt[:, None, :, None]
+        ice_samp = jnp.maximum(
+            moist_mm[..., None] - maximum_unfrozen_water(
+                t_samp, mm, bub, expt), 0.0)
+        layer_ice = (ice_samp * trap).sum(-1)
+        layer_ice = jnp.where(params.fs_active[:, None, None], layer_ice, 0.0)
+        layer_ice = jnp.minimum(layer_ice, moist_mm)
+    else:
+        layer_ice = jnp.zeros_like(moist_mm)
+    return layer_t, layer_ice
