@@ -32,13 +32,13 @@ def main():
     fn = jax.jit(lambda s, f: run(s, f, params, gp))
     # compile + warmup
     s1, outs = fn(state, stack)
-    jax.block_until_ready(outs.evap)
+    jax.block_until_ready(outs["OUT_EVAP"])
 
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
         s1, outs = fn(state, stack)
-        jax.block_until_ready(outs.evap)
+        jax.block_until_ready(outs["OUT_EVAP"])
     dt = (time.perf_counter() - t0) / reps
 
     cell_steps_per_s = n_cell * n_rec / dt

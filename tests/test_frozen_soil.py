@@ -116,8 +116,8 @@ class TestFrozenSoilMode:
         st = initial_state(dom, gp)
         fs, outs = jax.jit(lambda s, f: run(s, f, params, gp, geom))(st, stack)
         assert bool(jnp.isfinite(fs.node_temp).all())
-        assert bool(jnp.isfinite(outs.runoff).all())
+        assert bool(jnp.isfinite(outs["OUT_RUNOFF"]).all())
         # some soil ice must form in a -10C-shifted winter
         assert float(fs.ice.max()) > 0.0
         # closure still holds (evap/ice interplay)
-        assert float(jnp.abs(outs.water_error).max()) < 0.05
+        assert float(jnp.abs(outs["OUT_WATER_ERROR"]).max()) < 0.05

@@ -30,7 +30,7 @@ class TestWaterBalanceMode:
         step = make_step(params, gp)
         forc0 = jax.tree_util.tree_map(lambda a: a[0], stack)
         new_state, out = jax.jit(step)(state, forc0)
-        for name, v in out._asdict().items():
+        for name, v in out.items():
             assert bool(jnp.isfinite(v).all()), f"{name} not finite"
         assert bool(jnp.isfinite(new_state.moist).all())
 
@@ -38,24 +38,24 @@ class TestWaterBalanceMode:
         gp, domain, params, stack, state = build(n_rec=60)
         final_state, outs = jax.jit(
             lambda s, f: run(s, f, params, gp))(state, stack)
-        assert outs.evap.shape == (60, 4)
-        assert bool(jnp.isfinite(outs.runoff).all())
+        assert outs["OUT_EVAP"].shape == (60, 4)
+        assert bool(jnp.isfinite(outs["OUT_RUNOFF"]).all())
         # some water must move over 60 days of forcing
-        assert float(outs.prec.sum()) > 0
-        assert float(outs.runoff.sum() + outs.baseflow.sum()) > 0
+        assert float(outs["OUT_PREC"].sum()) > 0
+        assert float(outs["OUT_RUNOFF"].sum() + outs["OUT_BASEFLOW"].sum()) > 0
 
     def test_water_balance_closure(self):
         gp, domain, params, stack, state = build(n_rec=90)
         _, outs = jax.jit(lambda s, f: run(s, f, params, gp))(state, stack)
         # per-step closure residual should be tiny relative to precip
-        max_err = float(jnp.abs(outs.water_error).max())
+        max_err = float(jnp.abs(outs["OUT_WATER_ERROR"]).max())
         assert max_err < 0.01, f"water balance error {max_err} mm/step"
 
     def test_snow_accumulates_in_winter(self):
         gp, domain, params, stack, state = build(n_rec=60)
         _, outs = jax.jit(lambda s, f: run(s, f, params, gp))(state, stack)
         # Jan/Feb at 51N with lapsed temps: some SWE must appear
-        assert float(outs.swe.max()) > 0
+        assert float(outs["OUT_SWE"].max()) > 0
 
     def test_soil_moisture_bounded(self):
         gp, domain, params, stack, state = build(n_rec=90)
@@ -70,9 +70,9 @@ class TestFullEnergyMode:
         gp, domain, params, stack, state = build(n_rec=10, full_energy=True)
         final_state, outs = jax.jit(
             lambda s, f: run(s, f, params, gp))(state, stack)
-        assert bool(jnp.isfinite(outs.surf_temp).all())
+        assert bool(jnp.isfinite(outs["OUT_SURF_TEMP"]).all())
         # surface temp should track air temp within tens of degrees
-        assert float(jnp.abs(outs.surf_temp).max()) < 60.0
+        assert float(jnp.abs(outs["OUT_SURF_TEMP"]).max()) < 60.0
 
 
 class TestGlacierMode:
@@ -82,5 +82,5 @@ class TestGlacierMode:
         assert bool(params.is_glacier.any())
         final_state, outs = jax.jit(
             lambda s, f: run(s, f, params, gp))(state, stack)
-        assert bool(jnp.isfinite(outs.glac_melt).all())
-        assert bool(jnp.isfinite(outs.glac_outflow).all())
+        assert bool(jnp.isfinite(outs["OUT_GLAC_MELT"]).all())
+        assert bool(jnp.isfinite(outs["OUT_GLAC_OUTFLOW"]).all())

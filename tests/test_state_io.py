@@ -1,0 +1,77 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vic_tpu.config import GlobalParams
+from vic_tpu.io import native
+from vic_tpu.io.state_io import (load_state, load_state_npz, save_state,
+                                 save_state_npz)
+from vic_tpu.model import make_forcing_stack, run
+from vic_tpu.prepare import prepare_domain
+from vic_tpu.state import initial_state
+from vic_tpu.testing import synthetic_domain, synthetic_forcing
+from vic_tpu.timeaxis import make_time_axis
+
+
+def setup_run(n_rec=20, n_cell=3):
+    gp = GlobalParams(dt=24, startyear=1995, nrecs=n_rec, full_energy=True)
+    dom = synthetic_domain(n_cell=n_cell)
+    params = prepare_domain(dom, gp)
+    ax = make_time_axis(1995, 1, 1, 0, n_rec, 24)
+    stack = make_forcing_stack(synthetic_forcing(n_rec, n_cell), ax)
+    return gp, dom, params, stack
+
+
+@pytest.mark.skipif(not native.available(), reason="no native netcdf")
+def test_netcdf_state_roundtrip(tmp_path):
+    gp, dom, params, stack = setup_run()
+    st0 = initial_state(dom, gp)
+    fs, _ = jax.jit(lambda s, f: run(s, f, params, gp))(st0, stack)
+    path = str(tmp_path / "state.nc")
+    save_state(path, fs, gp)
+    restored = load_state(path, gp, template=st0)
+    for k in ("moist", "swq", "node_temp", "wdew", "albedo"):
+        np.testing.assert_allclose(np.asarray(getattr(restored, k)),
+                                   np.asarray(getattr(fs, k)), rtol=1e-6)
+    assert restored.melting.dtype == fs.melting.dtype
+    assert restored.last_snow.dtype == fs.last_snow.dtype
+
+
+def test_npz_state_roundtrip(tmp_path):
+    gp, dom, params, stack = setup_run(n_rec=5)
+    st0 = initial_state(dom, gp)
+    path = str(tmp_path / "state.npz")
+    save_state_npz(path, st0, gp)
+    restored = load_state_npz(path, gp, template=st0)
+    np.testing.assert_allclose(np.asarray(restored.moist),
+                               np.asarray(st0.moist))
+
+
+@pytest.mark.skipif(not native.available(), reason="no native netcdf")
+def test_restart_is_exact(tmp_path):
+    """Unlike the reference (restart documented non-reproducible), a vic-tpu
+    checkpoint resume must be bit-exact vs the uninterrupted run."""
+    gp, dom, params, stack = setup_run(n_rec=20)
+    st0 = initial_state(dom, gp)
+    runner = jax.jit(lambda s, f: run(s, f, params, gp))
+
+    # uninterrupted
+    fs_full, outs_full = runner(st0, stack)
+
+    # split at rec 10 with a checkpoint in between
+    half1 = {k: v[:10] for k, v in stack.items()}
+    half2 = {k: v[10:] for k, v in stack.items()}
+    fs_a, _ = runner(st0, half1)
+    path = str(tmp_path / "mid.nc")
+    save_state(path, fs_a, gp)
+    fs_b = load_state(path, gp, template=st0)
+    fs_resumed, outs_b = runner(fs_b, half2)
+
+    np.testing.assert_allclose(np.asarray(fs_resumed.moist),
+                               np.asarray(fs_full.moist), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(fs_resumed.swq),
+                               np.asarray(fs_full.swq), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(outs_b["OUT_RUNOFF"][-1]),
+                               np.asarray(outs_full["OUT_RUNOFF"][-1]),
+                               rtol=0, atol=0)

@@ -1,0 +1,221 @@
+"""Top-level run driver: the TPU-native equivalent of the reference main
+program (/root/reference/vicNl.c:36-654: init sequencing -> cell loop ->
+time loop -> state save -> output write).
+
+Sequencing mirrors vicNl.c: read global params -> veg library -> soil cells ->
+veg/band params per cell -> forcing ingest -> initial state (cold or warm) ->
+scan over records in chunks -> aggregate + write outputs -> save state.
+
+The OpenMP cell loop becomes the batched jitted scan; chunked scanning bounds
+HBM for long runs (the reference's DISAGG_WRITE_CHUNK_SIZE duality,
+vicNl.c:463-480).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from .config import GlobalParams, parse_global_param_file
+from .params import Domain
+from .timeaxis import TimeAxis, time_axis_from_params
+
+
+@dataclass
+class RunResult:
+    outputs: dict          # aggregated [n_out, n_cell(, k)] host arrays
+    final_state: object
+    timeaxis: TimeAxis
+    elapsed_s: float
+    cell_steps_per_s: float
+
+
+def load_domain(gp: GlobalParams) -> Domain:
+    """Build the Domain from reference-format parameter files
+    (vicNl.c:237-282 readSoilData + initializeCell)."""
+    from .io.snowband import read_snowband_file, default_bands
+    from .io.soil import read_soil_file
+    from .io.veg import build_hru_params, read_veglib, read_vegparam_cell_tiles
+
+    soil = read_soil_file(gp.soil_file, gp, max_cells=gp.max_cells)
+    veglib = read_veglib(gp.veglib_file)
+    tiles = read_vegparam_cell_tiles(gp.veg_file, gp)
+    hru = build_hru_params(tiles, soil.gridcel, veglib, gp, soil.depth)
+    if gp.snow_band > 1 and gp.snowband_file:
+        bands = read_snowband_file(gp.snowband_file, soil, gp.snow_band)
+    else:
+        bands = default_bands(soil, 1)
+    return Domain(soil=soil, veglib=veglib, hru=hru, bands=bands)
+
+
+def load_forcing(gp: GlobalParams, domain: Domain, timeaxis: TimeAxis) -> dict:
+    """Read per-cell forcing files into [n_rec, n_cell] arrays
+    (read_forcing_data.c / read_atmos_data.c; file naming prefix_lat_lng from
+    make_in_and_outfiles.c:13).
+
+    Requires a fully-specified forcing set (PREC, AIR_TEMP, WIND, SHORTWAVE,
+    LONGWAVE, PRESSURE, VP) at the model step; partially-specified daily sets
+    go through the MTCLIM disaggregation path (vic_tpu.forcing)."""
+    from .forcing.ingest import ingest_forcing
+    return ingest_forcing(gp, domain, timeaxis)
+
+
+def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
+                   forcing: Optional[dict] = None,
+                   init_state_path: Optional[str] = None,
+                   chunk_recs: int = 0, write_output: bool = True,
+                   progress: bool = True) -> RunResult:
+    """Execute the full simulation. domain/forcing default to file ingest per
+    the global parameter settings."""
+    import jax
+    from .model import make_forcing_stack, make_step
+    from .output import aggregate_outputs
+    from .prepare import prepare_domain
+    from .state import initial_state
+
+    timeaxis = time_axis_from_params(gp)
+    if domain is None:
+        domain = load_domain(gp)
+    if forcing is None:
+        forcing = load_forcing(gp, domain, timeaxis)
+
+    params = prepare_domain(domain, gp)
+    geom = None
+    if gp.frozen_soil:
+        from .physics.frozen_soil import build_node_geometry
+        geom = build_node_geometry(domain.soil, gp)
+
+    state = initial_state(domain, gp)
+    if gp.init_state and (init_state_path or gp.init_state_file):
+        from .io.state_io import load_state
+        state = load_state(init_state_path or gp.init_state_file, gp,
+                           template=state)
+
+    step = make_step(params, gp, geom)
+
+    def scan_chunk(st, forc_stack):
+        return jax.lax.scan(step, st, forc_stack)
+
+    scan_jit = jax.jit(scan_chunk)
+    n_rec = timeaxis.nrecs
+    chunk = chunk_recs if chunk_recs > 0 else n_rec
+    all_outs = []
+    t0 = time.perf_counter()
+    for start in range(0, n_rec, chunk):
+        end = min(start + chunk, n_rec)
+        sub_ax = TimeAxis(*[a[start:end] for a in
+                            (timeaxis.year, timeaxis.month, timeaxis.day,
+                             timeaxis.hour, timeaxis.day_in_year)])
+        stack = make_forcing_stack(
+            {k: v[start:end] for k, v in forcing.items()}, sub_ax)
+        state, outs = scan_jit(state, stack)
+        all_outs.append(jax.tree_util.tree_map(np.asarray, outs))
+        if progress:
+            print(f"  records {start}..{end} done", file=sys.stderr)
+    jax.block_until_ready(state.moist)
+    elapsed = time.perf_counter() - t0
+
+    outs = {k: np.concatenate([o[k] for o in all_outs], axis=0)
+            for k in all_outs[0]}
+    steps_per_out = max(1, gp.out_step // gp.dt)
+    agg = aggregate_outputs(outs, steps_per_out)
+
+    if write_output:
+        write_outputs(gp, domain, timeaxis, agg, steps_per_out)
+
+    if gp.save_state and gp.state_name:
+        from .io.state_io import save_state
+        date = (int(timeaxis.year[-1]), int(timeaxis.month[-1]),
+                int(timeaxis.day[-1]))
+        save_state(_state_path(gp, date), state, gp, date=date,
+                   fmt=gp.state_format)
+
+    n_cell = domain.n_cell
+    return RunResult(outputs=agg, final_state=state, timeaxis=timeaxis,
+                     elapsed_s=elapsed,
+                     cell_steps_per_s=n_cell * n_rec / max(elapsed, 1e-9))
+
+
+def _state_path(gp, date):
+    y, m, d = date
+    suffix = f"_{y:04d}{m:02d}{d:02d}"
+    base = gp.state_name
+    if gp.state_format.upper() == "NETCDF" and not base.endswith(".nc"):
+        return base + suffix + ".nc"
+    return base + suffix
+
+
+def write_outputs(gp, domain, timeaxis, agg, steps_per_out):
+    """Dispatch to the configured output format (WriteOutputContext.c)."""
+    var_names = list(agg.keys())
+    if gp.outfiles:
+        sel = [v for of in gp.outfiles for v in of.varnames]
+        var_names = [v for v in var_names if v in sel] or var_names
+    lats, lons = domain.soil.lat, domain.soil.lng
+
+    # output-interval timestamps (days since simulation start)
+    n_out = len(next(iter(agg.values())))
+    tvals = np.arange(n_out, dtype=float) * (gp.out_step / 24.0)
+
+    if gp.output_format.upper() == "NETCDF":
+        from .io import native
+        if not native.available():
+            raise RuntimeError("NETCDF output requested but libnetcdf missing")
+        from .output import NetCDFOutputWriter
+        path = os.path.join(gp.result_dir, gp.netcdf_output_filename)
+        w = NetCDFOutputWriter(
+            path, lats, lons, var_names, nlayer=gp.nlayer,
+            nnode=max(gp.nnode, 3),
+            global_attrs=dict(gp.netcdf_attributes),
+            compress=5 if gp.compress else 0)
+        w.write_all(agg, tvals)
+        w.close()
+    else:
+        from .output import AsciiOutputWriter
+        w = AsciiOutputWriter(gp.result_dir, "fluxes", lats, lons, var_names,
+                              grid_decimal=gp.grid_decimal)
+        out_ax = TimeAxis(*[a[::steps_per_out][:n_out] for a in
+                            (timeaxis.year, timeaxis.month, timeaxis.day,
+                             timeaxis.hour, timeaxis.day_in_year)])
+        w.write_all(agg, out_ax)
+        w.close()
+
+
+def main(argv=None):
+    """CLI entry (cmd_proc.c: vicNl -g <global-file>)."""
+    import argparse
+    ap = argparse.ArgumentParser(
+        prog="vic-tpu",
+        description="TPU-native VIC-GL hydrologic model")
+    ap.add_argument("-g", "--global-file",
+                    help="global parameter file (reference grammar)")
+    ap.add_argument("-o", "--options", action="store_true",
+                    help="print run options and exit (display_current_settings)")
+    ap.add_argument("-v", "--version", action="store_true")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="records per scan chunk (memory bound)")
+    args = ap.parse_args(argv)
+
+    if args.version:
+        from . import __version__
+        print(f"vic-tpu {__version__}")
+        return 0
+    if not args.global_file:
+        ap.error("the following arguments are required: -g/--global-file")
+    gp = parse_global_param_file(args.global_file)
+    if args.options:
+        for k, v in sorted(vars(gp).items()):
+            print(f"{k:32s} {v}")
+        return 0
+    res = run_simulation(gp, chunk_recs=args.chunk)
+    print(f"Model execution time: {res.elapsed_s:.3f} s "
+          f"({res.cell_steps_per_s:.0f} cell-steps/s)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

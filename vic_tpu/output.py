@@ -1,0 +1,411 @@
+"""Output engine: variable registry, temporal aggregation, and format writers.
+
+Re-expression of the reference output stack:
+- variable metadata registry — /root/reference/variable_mapping.c:59-243
+  (units / NetCDF name / CF standard_name / long_name / cell_methods) and
+  /root/reference/output_list_utils.c (aggregation types);
+- temporal aggregation by AGG_TYPE END/SUM/AVG with rate variables divided by
+  the output interval — /root/reference/put_data.c:665-710;
+- NetCDF-4 writer: single file for all cells, dims (time[, depth|node], lat,
+  lon), per-variable deflate, time-major all-cells-per-step writes —
+  /root/reference/WriteOutputNetCDF.c:163-445;
+- ASCII writer: legacy per-cell ``fluxes_<lat>_<lon>`` files —
+  /root/reference/WriteOutputAscii.c.
+
+The model's per-record output dict (vic_tpu/model.py step outputs, keyed by the
+reference OUT_* ids) is aggregated host-side in numpy and written through the
+native vicio NetCDF layer.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+# aggregation methods (output_list_utils.c AGG_TYPE_*)
+AGG_SUM = "sum"    # accumulate over output interval (fluxes in mm)
+AGG_AVG = "avg"    # average over output interval
+AGG_END = "end"    # instantaneous value at end of interval (states)
+
+
+@dataclass(frozen=True)
+class OutVarMeta:
+    units: str
+    nc_name: str
+    standard_name: str
+    long_name: str
+    cell_methods: str
+    agg: str = AGG_AVG
+    dim: Optional[str] = None   # extra dimension: "layer" | "node" | None
+
+
+_M = OutVarMeta
+
+# Registry lifted from variable_mapping.c:59-243 (subset currently produced by
+# the model; extend as physics lands). Water fluxes aggregate by SUM, states
+# by END, energy/met by AVG — put_data.c conventions.
+OUTVAR_META: Dict[str, OutVarMeta] = {
+    # water states
+    "OUT_SWE": _M("mm", "SWE", "lwe_thickness_of_surface_snow_amount",
+                  "Snow water equivalent in snow pack", "time: point area: mean",
+                  AGG_END),
+    "OUT_SNOW_DEPTH": _M("cm", "SNOW_DEPTH", "surface_snow_thickness",
+                         "Snow depth", "time: point area: mean", AGG_END),
+    "OUT_SNOW_COVER": _M("1", "SNOW_COVER", "surface_snow_area_fraction",
+                         "Snow area fraction", "time: point area: sum", AGG_END),
+    "OUT_SNOW_CANOPY": _M("mm", "SNOW_CANOPY", "",
+                          "Snow interception storage in canopy",
+                          "time: point area: mean", AGG_END),
+    "OUT_WDEW": _M("mm", "WDEW", "lwe_thickness_of_canopy_water_amount",
+                   "Total moisture interception storage in canopy",
+                   "time: point area: mean", AGG_END),
+    "OUT_SOIL_MOIST": _M("mm", "SOIL_MOIST",
+                         "lwe_thickness_of_soil_moisture_content",
+                         "Soil total moisture content for soil layer",
+                         "time: point area: mean", AGG_END, dim="layer"),
+    "OUT_SOIL_LIQ": _M("mm", "SOIL_LIQ",
+                       "lwe_thickness_of_liquid_water_content_of_soil_layer",
+                       "Water content of soil layer", "time: point area: mean",
+                       AGG_END, dim="layer"),
+    "OUT_SOIL_ICE": _M("mm", "SOIL_ICE",
+                       "lwe_thickenss_of_frozen_water_content_of_soil_layer",
+                       "Soil ice content of soil layer",
+                       "time: point area: mean", AGG_END, dim="layer"),
+    "OUT_SOIL_MOIST_TOT": _M("mm", "SOIL_MOIST_TOT", "soil_moisture_content",
+                             "Total soil moisture content",
+                             "time: point area: mean", AGG_END),
+    "OUT_ROOTMOIST": _M("mm", "ROOTMOIST", "", "Root zone soil moisture",
+                        "time: point area: mean", AGG_END),
+    "OUT_SOIL_WET": _M("1", "SOIL_WET", "",
+                       "Vertical average soil wetness", "time: point area: mean",
+                       AGG_END),
+    "OUT_ASAT": _M("1", "ASAT", "", "Saturated area fraction",
+                   "time: point area: sum", AGG_END),
+    # water fluxes
+    "OUT_PREC": _M("mm", "PREC", "lwe_thickness_of_precipitation_amount",
+                   "Precipitation", "time: mean area: mean", AGG_SUM),
+    "OUT_RAINF": _M("mm", "RAINF", "thickness_of_rainfall_amount", "Rainfall",
+                    "time: mean area: mean", AGG_SUM),
+    "OUT_SNOWF": _M("mm", "SNOWF", "lwe_thickness_of_snowfall_amount",
+                    "Snowfall", "time: mean area: mean", AGG_SUM),
+    "OUT_EVAP": _M("mm", "EVAP", "lwe_thickness_of_water_evaporation_amount",
+                   "Total net evaporation", "time: mean area: mean", AGG_SUM),
+    "OUT_EVAP_BARE": _M("mm", "EVAP_BARE",
+                        "lwe_thickness_of_water_evaporation_amount_from_soil",
+                        "Net evaporation from bare soil",
+                        "time: mean area: mean", AGG_SUM),
+    "OUT_EVAP_CANOP": _M("mm", "EVAP_CANOP",
+                         "lwe_thickness_of_water_evaporation_amount_from_canopy",
+                         "Net evaporation from canopy interception",
+                         "time: mean area: mean", AGG_SUM),
+    "OUT_TRANSP_VEG": _M("mm", "TRANSP_VEG", "thickness_of_transpiration_amount",
+                         "Transpiration", "time: mean area: mean", AGG_SUM),
+    "OUT_SUB_SNOW": _M("mm", "SUB_SNOW",
+                       "lwe_thickness_of_surface_snow_sublimation_amount",
+                       "Total net sublimation from snow pack",
+                       "time: mean area: mean", AGG_SUM),
+    "OUT_RUNOFF": _M("mm", "RUNOFF", "thickness_of_surface_runoff_amount",
+                     "Surface runoff", "time: mean area: mean", AGG_SUM),
+    "OUT_BASEFLOW": _M("mm", "BASEFLOW", "lwe_thickness_of_baseflow_amount",
+                       "Baseflow out of the bottom layer",
+                       "time: mean area: mean", AGG_SUM),
+    "OUT_INFLOW": _M("mm", "INFLOW", "", "Moisture that reaches top of soil column",
+                     "time: mean area: mean", AGG_SUM),
+    "OUT_SNOW_MELT": _M("mm", "SNOW_MELT", "thickness_of_surface_snow_melt_amount",
+                        "Snow melt", "time: mean area: mean", AGG_SUM),
+    "OUT_WATER_ERROR": _M("mm", "WATER_ERROR", "", "Water budget error",
+                          "time: mean area: mean", AGG_SUM),
+    "OUT_PET_SATSOIL": _M("mm", "PET_SATSOIL",
+                          "lwe_thickness_of_water_potential_evaporation_amount",
+                          "Potential evap from saturated bare soil",
+                          "time: mean area: mean", AGG_SUM),
+    "OUT_PET_H2OSURF": _M("mm", "PET_H20SURF",
+                          "lwe_thickness_of_water_potential_evaporation_amount",
+                          "Potential evap from open water",
+                          "time: mean area: mean", AGG_SUM),
+    "OUT_PET_SHORT": _M("mm", "PET_SHORT",
+                        "lwe_thickness_of_water_potential_evaporation_amount",
+                        "Potential evap from short reference crop",
+                        "time: mean area: mean", AGG_SUM),
+    "OUT_PET_TALL": _M("mm", "PET_TALL",
+                       "lwe_thickness_of_water_potential_evaporation_amount",
+                       "Potential evap from tall reference crop",
+                       "time: mean area: mean", AGG_SUM),
+    "OUT_PET_NATVEG": _M("mm", "PET_NATVEG",
+                         "lwe_thickness_of_water_potential_evaporation_amount",
+                         "Potential evap from current vegetation",
+                         "time: mean area: mean", AGG_SUM),
+    "OUT_PET_VEGNOCR": _M("mm", "PET_VEGNOCR",
+                          "lwe_thickness_of_water_potential_evaporation_amount",
+                          "Potential evap, no canopy resistance",
+                          "time: mean area: mean", AGG_SUM),
+    # energy fluxes
+    "OUT_NET_SHORT": _M("W m-2", "NET_SHORT", "net_downward_shortwave_flux_in_air",
+                        "Net downward shortwave flux", "time: mean area: mean"),
+    "OUT_NET_LONG": _M("W m-2", "NET_LONG", "net_downward_longwave_flux_in_air",
+                       "Net downward longwave flux", "time: mean area: mean"),
+    "OUT_LATENT": _M("W m-2", "LATENT", "surface_upward_latent_heat_flux",
+                     "Net upward latent heat flux", "time: mean area: mean"),
+    "OUT_LATENT_SUB": _M("W m-2", "LATENT_SUB", "",
+                         "Net upward latent heat flux from sublimation",
+                         "time: mean area: mean"),
+    "OUT_SENSIBLE": _M("W m-2", "SENSIBLE", "surface_upward_sensible_heat_flux",
+                       "Net upward sensible heat flux", "time: mean area: mean"),
+    "OUT_GRND_FLUX": _M("W m-2", "GRND_FLUX",
+                        "downward_heat_flux_at_ground_level_in_soil",
+                        "Net heat flux into ground", "time: mean area: mean"),
+    "OUT_DELTAH": _M("W m-2", "DELTAH", "", "Rate of change in heat storage",
+                     "time: mean area: mean"),
+    "OUT_FUSION": _M("W m-2", "FUSION", "",
+                     "Net energy used to melt/freeze soil moisture",
+                     "time: mean area: mean"),
+    "OUT_SNOW_FLUX": _M("W m-2", "SNOW_FLUX",
+                        "downward_heat_flux_at_ground_level_in_snow",
+                        "Energy flux through snow pack", "time: mean area: mean"),
+    "OUT_ADVECTION": _M("W m-2", "ADVECTION", "", "Advected energy",
+                        "time: mean area: mean"),
+    "OUT_DELTACC": _M("W m-2", "DELTACC", "",
+                      "Rate of change in cold content in snow pack",
+                      "time: mean area: mean"),
+    "OUT_RFRZ_ENERGY": _M("W m-2", "RFRZ_ENERGY", "",
+                          "Net energy used to refreeze liquid water in snowpack",
+                          "time: mean area: mean"),
+    "OUT_MELT_ENERGY": _M("W m-2", "MELT_ENERGY", "surface_snow_melt_heat_flux",
+                          "Energy of fusion (melting) in snowpack",
+                          "time: mean area: mean"),
+    "OUT_ENERGY_ERROR": _M("W m-2", "ENERGY_ERROR", "", "Energy budget error",
+                           "time: mean area: mean"),
+    # temperatures / surface states
+    "OUT_SURF_TEMP": _M("degree_Celsius", "SURF_TEMP", "surface_temperature",
+                        "Average surface temperature", "time: point area: mean",
+                        AGG_AVG),
+    "OUT_RAD_TEMP": _M("K", "RAD_TEMP", "", "Average radiative surface temperature",
+                       "time: point area: mean"),
+    "OUT_BARESOILT": _M("degree_Celsius", "BARESOILT", "",
+                        "Bare soil surface temperature", "time: point area: mean"),
+    "OUT_SNOW_SURF_TEMP": _M("degree_Celsius", "SNOW_SURF_TEMP",
+                             "surface_temperature_where_snow",
+                             "Snow surface temperature", "time: point area: mean"),
+    "OUT_SNOW_PACK_TEMP": _M("degree_Celsius", "SNOW_PACK_TEMP", "",
+                             "Snow pack temperature", "time: point area: mean"),
+    "OUT_SOIL_TEMP": _M("degree_Celsius", "SOIL_TEMP", "soil_temperature",
+                        "Soil temperature for each layer",
+                        "time: point area: mean", AGG_AVG, dim="layer"),
+    "OUT_SOIL_TNODE": _M("degree_Celsius", "SOIL_TNODE", "",
+                         "Soil temperature for each thermal node",
+                         "time: point area: mean", AGG_AVG, dim="node"),
+    "OUT_ALBEDO": _M("1", "ALBEDO", "surface_albedo", "Average surface albedo",
+                     "time: point area: mean"),
+    "OUT_SALBEDO": _M("1", "SALBEDO", "surface_albedo_assuming_deep_snow",
+                      "Snow pack albedo", "time: point area: mean"),
+    "OUT_SURFT_FBFLAG": _M("", "SURFT_FBFLAG", "",
+                           "Surface temperature fallback count",
+                           "time: point area: mean", AGG_SUM),
+    "OUT_SNOWT_FBFLAG": _M("", "SNOWT_FBFLAG", "",
+                           "Snow surface temperature fallback count",
+                           "time: point area: mean", AGG_SUM),
+    # met echo
+    "OUT_AIR_TEMP": _M("degree_Celsius", "AIR_TEMP", "air_temperature",
+                       "Air temperature", "time: mean area: mean"),
+    "OUT_WIND": _M("m s-1", "WIND", "wind_speed", "Near surface wind speed",
+                   "time: mean area: mean"),
+    "OUT_SHORTWAVE": _M("W m-2", "SHORTWAVE", "downwelling_shortwave_flux_in_air",
+                        "Incoming shortwave", "time: mean area: mean"),
+    "OUT_LONGWAVE": _M("W m-2", "LONGWAVE", "downwelling_longwave_flux_in_air",
+                       "Incoming longwave", "time: mean area: mean"),
+    "OUT_DENSITY": _M("kg m-3", "DENSITY", "air_density",
+                      "Near surface atmospheric density", "time: mean area: mean"),
+    "OUT_PRESSURE": _M("kPa", "PRESSURE", "surface_air_pressure",
+                       "Near surface atmospheric pressure",
+                       "time: mean area: mean"),
+    "OUT_VP": _M("kPa", "VP", "water_vapor_partial_pressure_in_air",
+                 "Near surface vapor pressure", "time: mean area: mean"),
+    "OUT_VPD": _M("kPa", "VPD", "water_vapor_saturation_deficit_in_air",
+                  "Near surface vapor pressure deficit", "time: mean area: mean"),
+    "OUT_REL_HUMID": _M("1", "REL_HUMID", "relative_humidity",
+                        "Relative humidity", "time: mean area: mean"),
+    # PCIC glacier variables (vicNl_def.h:525-547)
+    "OUT_GLAC_WAT_STOR": _M("mm", "GLAC_WAT_STOR", "", "Glacier water storage",
+                            "time: point area: mean", AGG_END),
+    "OUT_GLAC_AREA": _M("1", "GLAC_AREA", "", "Glacier surface area fraction",
+                        "time: point area: sum", AGG_END),
+    "OUT_GLAC_MELT": _M("mm", "GLAC_MELT", "", "Glacier ice melt",
+                        "time: mean area: mean", AGG_SUM),
+    "OUT_GLAC_SUB": _M("mm", "GLAC_SUB", "", "Net sublimation of glacier ice",
+                       "time: mean area: mean", AGG_SUM),
+    "OUT_GLAC_INFLOW": _M("mm", "GLAC_INFLOW", "", "Glacier water inflow",
+                          "time: mean area: mean", AGG_SUM),
+    "OUT_GLAC_OUTFLOW": _M("mm", "GLAC_OUTFLOW", "", "Glacier water outflow",
+                           "time: mean area: mean", AGG_SUM),
+    "OUT_GLAC_SURF_TEMP": _M("degree_Celsius", "GLAC_SURF_TEMP", "",
+                             "Glacier surface temperature",
+                             "time: point area: mean"),
+    "OUT_GLAC_MBAL": _M("mm", "GLAC_MBAL", "", "Glacier mass balance",
+                        "time: point area: mean", AGG_END),
+    "OUT_GLAC_OUTFLOW_COEF": _M("1", "GLAC_OUTFLOW_COEF", "",
+                                "Glacier outflow coefficient",
+                                "time: point area: mean", AGG_END),
+}
+
+# Default file compositions (set_output_defaults.c:8: fluxes + snow files)
+DEFAULT_FLUXES_VARS = (
+    "OUT_PREC", "OUT_EVAP", "OUT_RUNOFF", "OUT_BASEFLOW", "OUT_WDEW",
+    "OUT_SOIL_MOIST", "OUT_RAD_TEMP", "OUT_NET_SHORT", "OUT_R_NET",
+    "OUT_LATENT", "OUT_EVAP_CANOP", "OUT_TRANSP_VEG", "OUT_EVAP_BARE",
+    "OUT_SUB_CANOP", "OUT_SUB_SNOW", "OUT_SENSIBLE", "OUT_GRND_FLUX",
+    "OUT_DELTAH", "OUT_FUSION", "OUT_AERO_RESIST", "OUT_SURF_TEMP",
+    "OUT_ALBEDO", "OUT_REL_HUMID", "OUT_IN_LONG", "OUT_AIR_TEMP", "OUT_WIND",
+)
+DEFAULT_SNOW_VARS = (
+    "OUT_SWE", "OUT_SNOW_DEPTH", "OUT_SNOW_CANOPY", "OUT_SNOW_COVER",
+    "OUT_ADVECTION", "OUT_DELTACC", "OUT_SNOW_FLUX", "OUT_RFRZ_ENERGY",
+    "OUT_MELT_ENERGY", "OUT_NET_LONG", "OUT_ALBEDO", "OUT_LATENT_SUB",
+    "OUT_SNOW_SURF_TEMP", "OUT_SNOW_PACK_TEMP", "OUT_SNOW_MELT",
+)
+
+
+def aggregate_outputs(outs: Dict[str, np.ndarray], steps_per_out: int
+                      ) -> Dict[str, np.ndarray]:
+    """Temporal aggregation of stacked per-record outputs [n_rec, ...] into
+    output intervals (put_data.c:665-710). SUM accumulates, AVG means, END
+    takes the interval's last record."""
+    if steps_per_out <= 1:
+        return dict(outs)
+    out = {}
+    for name, arr in outs.items():
+        arr = np.asarray(arr)
+        n_rec = arr.shape[0]
+        n_out = n_rec // steps_per_out
+        trimmed = arr[:n_out * steps_per_out]
+        grouped = trimmed.reshape((n_out, steps_per_out) + arr.shape[1:])
+        meta = OUTVAR_META.get(name)
+        agg = meta.agg if meta else AGG_AVG
+        if agg == AGG_SUM:
+            out[name] = grouped.sum(axis=1)
+        elif agg == AGG_END:
+            out[name] = grouped[:, -1]
+        else:
+            out[name] = grouped.mean(axis=1)
+    return out
+
+
+class NetCDFOutputWriter:
+    """Time-major all-cells NetCDF-4 output (WriteOutputNetCDF.c:163-445).
+
+    One file for the whole domain: dims (time, [layer|node,] lat, lon). Cells
+    are scattered onto the lat/lon grid; missing cells filled with 1e20.
+    """
+    FILL = 1.0e20
+
+    def __init__(self, path: str, lats: np.ndarray, lons: np.ndarray,
+                 var_names, nlayer: int = 3, nnode: int = 3,
+                 global_attrs: Optional[dict] = None, compress: int = 0,
+                 time_units: str = "days since 1900-01-01"):
+        from .io.native import NetCDFFile
+        self.lat_axis = np.unique(np.round(lats, 6))
+        self.lon_axis = np.unique(np.round(lons, 6))
+        self.lat_idx = np.searchsorted(self.lat_axis, np.round(lats, 6))
+        self.lon_idx = np.searchsorted(self.lon_axis, np.round(lons, 6))
+        self.var_names = [v for v in var_names if v in OUTVAR_META]
+        self.nlayer, self.nnode = nlayer, nnode
+        self.t = 0
+
+        f = NetCDFFile(path, "w")
+        f.def_dim("time", None)
+        f.def_dim("depth", nlayer)
+        f.def_dim("node", nnode)
+        f.def_dim("lat", len(self.lat_axis))
+        f.def_dim("lon", len(self.lon_axis))
+        f.def_var("time", np.float64, ("time",),
+                  attrs={"units": time_units, "calendar": "standard"})
+        f.def_var("lat", np.float64, ("lat",),
+                  attrs={"units": "degrees_north", "standard_name": "latitude"})
+        f.def_var("lon", np.float64, ("lon",),
+                  attrs={"units": "degrees_east", "standard_name": "longitude"})
+        for name in self.var_names:
+            m = OUTVAR_META[name]
+            dims = ("time",) + (("depth",) if m.dim == "layer" else
+                                ("node",) if m.dim == "node" else ()) \
+                + ("lat", "lon")
+            attrs = {"units": m.units, "long_name": m.long_name,
+                     "cell_methods": m.cell_methods, "_FillValue_doc": self.FILL}
+            if m.standard_name:
+                attrs["standard_name"] = m.standard_name
+            f.def_var(m.nc_name, np.float32, dims, deflate=compress,
+                      attrs=attrs)
+        if global_attrs:
+            for k, v in global_attrs.items():
+                f.put_att(k, v)
+        f.put_att("Conventions", "CF-1.6")
+        f.put_att("model", "vic-tpu")
+        f.enddef()
+        f.put("lat", self.lat_axis)
+        f.put("lon", self.lon_axis)
+        self.f = f
+
+    def _scatter(self, cellvals: np.ndarray) -> np.ndarray:
+        """[n_cell(, k)] -> [(k,) nlat, nlon] grid with fill."""
+        if cellvals.ndim == 1:
+            grid = np.full((len(self.lat_axis), len(self.lon_axis)), self.FILL,
+                           np.float32)
+            grid[self.lat_idx, self.lon_idx] = cellvals
+        else:
+            k = cellvals.shape[1]
+            grid = np.full((k, len(self.lat_axis), len(self.lon_axis)),
+                           self.FILL, np.float32)
+            grid[:, self.lat_idx, self.lon_idx] = cellvals.T
+        return grid
+
+    def write_step(self, outs: Dict[str, np.ndarray], time_value: float):
+        """Write one output record for all cells (write_data_all_cells)."""
+        self.f.put("time", np.array([time_value]), start=(self.t,))
+        for name in self.var_names:
+            m = OUTVAR_META[name]
+            grid = self._scatter(np.asarray(outs[name], np.float32))
+            self.f.put(m.nc_name, grid[None], start=(self.t,) + (0,) * grid.ndim)
+        self.t += 1
+
+    def write_all(self, outs: Dict[str, np.ndarray], time_values: np.ndarray):
+        for i, tv in enumerate(time_values):
+            step = {k: np.asarray(v)[i] for k, v in outs.items()
+                    if k in self.var_names or k in OUTVAR_META}
+            self.write_step(step, float(tv))
+
+    def close(self):
+        self.f.close()
+
+
+class AsciiOutputWriter:
+    """Legacy per-cell ASCII flux files (WriteOutputAscii.c): one
+    ``<prefix>_<lat>_<lon>`` file per cell, date columns + variables."""
+
+    def __init__(self, result_dir: str, prefix: str, lats, lons, var_names,
+                 grid_decimal: int = 4):
+        import os
+        self.paths = []
+        self.files = []
+        self.var_names = [v for v in var_names if v in OUTVAR_META]
+        fmt = f"%.{grid_decimal}f"
+        os.makedirs(result_dir, exist_ok=True)
+        for la, lo in zip(lats, lons):
+            p = os.path.join(result_dir,
+                             f"{prefix}_{fmt % la}_{fmt % lo}")
+            self.paths.append(p)
+            self.files.append(open(p, "w"))
+
+    def write_all(self, outs, timeaxis):
+        n_rec = len(timeaxis.year)
+        for i in range(n_rec):
+            for ci, fh in enumerate(self.files):
+                cols = [f"{timeaxis.year[i]:04d}", f"{timeaxis.month[i]:02d}",
+                        f"{timeaxis.day[i]:02d}", f"{timeaxis.hour[i]:02d}"]
+                for name in self.var_names:
+                    v = np.asarray(outs[name])[i]
+                    vals = np.atleast_1d(v[ci] if v.ndim >= 1 else v)
+                    cols += [f"{x:.6f}" for x in np.ravel(vals)]
+                fh.write(" ".join(cols) + "\n")
+
+    def close(self):
+        for fh in self.files:
+            fh.close()

@@ -194,6 +194,41 @@ def canopy_evap(moist, soil_ice, wcr, wpwp, root, depth,
     return evap_total, layerevap, canopyevap, throughfall, wdew_new
 
 
+def compute_pot_evap(month_idx, tair, vpd, shortwave, net_longwave, elevation,
+                     dt_hours, ra_surface, ra_overstory,
+                     veg_rmin, veg_rarc, veg_rgl, veg_lai, veg_albedo,
+                     veg_overstory):
+    """Potential evaporation for the 6 reference surfaces (compute_pot_evap.c:8-87;
+    surfaces defined global.h:49-62). Returns dict PET name -> mm/step.
+
+    The 4 non-natural surfaces use the appended reference-veg parameters;
+    the 2 natural ones use the HRU's own veg parameters.
+    """
+    from .. import constants as c
+
+    out = {}
+    names = ("satsoil", "h2osurf", "short", "tall", "natveg", "vegnocr")
+    for i, name in enumerate(names):
+        if i < 4:
+            rs = jnp.asarray(c.REF_VEG_RMIN[i], tair.dtype)
+            rarc = jnp.asarray(c.REF_VEG_RARC[i], tair.dtype)
+            rgl = jnp.asarray(c.REF_VEG_RGL[i], tair.dtype)
+            lai = jnp.asarray(c.REF_VEG_LAI[i], tair.dtype)
+            albedo = jnp.asarray(c.REF_VEG_ALBEDO[i], tair.dtype)
+            ra = ra_surface
+        else:
+            rs = jnp.where(jnp.asarray(i == 5), 0.0, veg_rmin)
+            rarc, rgl, lai, albedo = veg_rarc, veg_rgl, veg_lai, veg_albedo
+            ra = jnp.where(veg_overstory, ra_overstory, ra_surface)
+        net_short = (1.0 - albedo) * shortwave
+        net_rad = net_short + net_longwave
+        rc = calc_rc(rs, net_short, rgl, tair, vpd, lai,
+                     jnp.ones_like(tair), ref_crop=bool(c.REF_VEG_REF_CROP[i]))
+        out[name] = penman(tair, elevation, net_rad, vpd, ra, rc, rarc) \
+            * dt_hours / 24.0
+    return out
+
+
 def arno_evap(moist0, soil_ice0, max_moist0, depth0, resid_moist0,
               b_infilt, rad, air_temp, vpd, elevation, ra, delta_t):
     """ARNO/Francini-Pacciani bare-soil evaporation from the top layer
