@@ -1,0 +1,37 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vic_tpu.config import GlobalParams
+from vic_tpu.model import make_forcing_stack, run
+from vic_tpu.physics.lake import make_lake_params
+from vic_tpu.prepare import prepare_domain
+from vic_tpu.state import initial_state
+from vic_tpu.testing import synthetic_domain, synthetic_forcing
+from vic_tpu.timeaxis import make_time_axis
+
+
+def test_lake_coupled_run():
+    gp = GlobalParams(dt=24, startyear=1995, nrecs=60, full_energy=True,
+                      lakes=True)
+    dom = synthetic_domain(n_cell=3)
+    params = prepare_domain(dom, gp)
+    lp = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32)
+        if np.asarray(a).dtype.kind == "f" else jnp.asarray(a),
+        make_lake_params(dom.soil, gp))
+    ax = make_time_axis(1995, 5, 1, 0, 60, 24)
+    forc = synthetic_forcing(60, 3, start_doy=121)
+    stack = make_forcing_stack(forc, ax)
+    st = initial_state(dom, gp, lake_params=lp)
+
+    fs, outs = jax.jit(lambda s, f: run(s, f, params, gp,
+                                        lake_params=lp))(st, stack)
+    assert "OUT_LAKE_DEPTH" in outs
+    assert bool(jnp.isfinite(outs["OUT_LAKE_DEPTH"]).all())
+    assert bool(jnp.isfinite(fs.lake_volume).all())
+    assert bool((fs.lake_volume >= 0).all())
+    assert bool(jnp.isfinite(outs["OUT_RUNOFF"]).all())
+    # lake surface temp follows a sane range
+    t = np.asarray(outs["OUT_LAKE_SURF_TEMP"])
+    assert t.min() > -1.0 and t.max() < 40.0

@@ -32,6 +32,7 @@ class RunResult:
     timeaxis: TimeAxis
     elapsed_s: float
     cell_steps_per_s: float
+    gmb_results: list = None   # GmbResult per accumulation interval
 
 
 def load_domain(gp: GlobalParams) -> Domain:
@@ -83,30 +84,74 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
     if forcing is None:
         forcing = load_forcing(gp, domain, timeaxis)
 
-    params = prepare_domain(domain, gp)
+    above_treeline = None
+    if gp.compute_treeline:
+        from .physics.hydrology_misc import compute_treeline, \
+            july_avg_temperature
+        july_t = (domain.soil.avg_july_air_temp if gp.july_tavg_supplied
+                  else july_avg_temperature(forcing["air_temp"],
+                                            timeaxis.month))
+        if np.isfinite(july_t).all():
+            above_treeline = compute_treeline(july_t, domain.bands.tfactor)
+
+    params = prepare_domain(domain, gp, above_treeline=above_treeline)
     geom = None
     if gp.frozen_soil:
         from .physics.frozen_soil import build_node_geometry
         geom = build_node_geometry(domain.soil, gp)
+    from .physics.hydrology_misc import build_zwt_curves
+    import jax.numpy as jnp
+    zwt_curves = {k: jnp.asarray(v, jnp.float32)
+                  for k, v in build_zwt_curves(domain.soil).items()}
 
-    state = initial_state(domain, gp)
+    lake_params = None
+    if gp.lakes:
+        if gp.lakeparam_file and os.path.exists(gp.lakeparam_file):
+            from .io.lakeparam import read_lakeparam_file
+            lake_params = read_lakeparam_file(gp.lakeparam_file, domain.soil,
+                                              gp)
+        else:
+            from .physics.lake import make_lake_params
+            lake_params = make_lake_params(domain.soil, gp)
+        lake_params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32)
+            if np.asarray(a).dtype.kind == "f" else jnp.asarray(a),
+            lake_params)
+
+    state = initial_state(domain, gp, lake_params=lake_params)
     if gp.init_state and (init_state_path or gp.init_state_file):
         from .io.state_io import load_state
         state = load_state(init_state_path or gp.init_state_file, gp,
                            template=state)
 
-    step = make_step(params, gp, geom)
+    step = make_step(params, gp, geom, zwt_curves, lake_params)
 
     def scan_chunk(st, forc_stack):
         return jax.lax.scan(step, st, forc_stack)
 
     scan_jit = jax.jit(scan_chunk)
     n_rec = timeaxis.nrecs
+
+    # glacier mass-balance accumulation schedule: chunk boundaries at each
+    # accumulation-interval start so we can fit + reset (accumulateGlacier
+    # MassBalance.c; SURVEY.md SS2.4)
+    gmb = None
+    gmb_boundaries = set()
+    if gp.glacier_id >= 0 and gp.glacier_accum_start_year > 0:
+        from .physics.gmb import GmbAccumulator
+        gmb = GmbAccumulator(gp)
+        for r in range(n_rec - 1):
+            if gmb.boundary(int(timeaxis.year[r + 1]),
+                            int(timeaxis.month[r + 1]),
+                            int(timeaxis.day[r + 1])):
+                gmb_boundaries.add(r + 1)
+
     chunk = chunk_recs if chunk_recs > 0 else n_rec
+    starts = sorted(set(range(0, n_rec, chunk)) | gmb_boundaries)
     all_outs = []
     t0 = time.perf_counter()
-    for start in range(0, n_rec, chunk):
-        end = min(start + chunk, n_rec)
+    for si, start in enumerate(starts):
+        end = starts[si + 1] if si + 1 < len(starts) else n_rec
         sub_ax = TimeAxis(*[a[start:end] for a in
                             (timeaxis.year, timeaxis.month, timeaxis.day,
                              timeaxis.hour, timeaxis.day_in_year)])
@@ -114,6 +159,19 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
             {k: v[start:end] for k, v in forcing.items()}, sub_ax)
         state, outs = scan_jit(state, stack)
         all_outs.append(jax.tree_util.tree_map(np.asarray, outs))
+        if gmb is not None and end in gmb_boundaries | {n_rec}:
+            res = gmb.maybe_emit(timeaxis, end - 1,
+                                 np.asarray(state.glac_cum_mass_balance),
+                                 np.asarray(params.band_elev),
+                                 np.asarray(params.is_glacier))
+            if res is not None:
+                import dataclasses
+                state = dataclasses.replace(
+                    state, glac_cum_mass_balance=jax.numpy.zeros_like(
+                        state.glac_cum_mass_balance))
+                if progress:
+                    print(f"  GMB fit at {res.date}: b0={res.b0}, "
+                          f"b1={res.b1}, b2={res.b2}", file=sys.stderr)
         if progress:
             print(f"  records {start}..{end} done", file=sys.stderr)
     jax.block_until_ready(state.moist)
@@ -137,7 +195,8 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
     n_cell = domain.n_cell
     return RunResult(outputs=agg, final_state=state, timeaxis=timeaxis,
                      elapsed_s=elapsed,
-                     cell_steps_per_s=n_cell * n_rec / max(elapsed, 1e-9))
+                     cell_steps_per_s=n_cell * n_rec / max(elapsed, 1e-9),
+                     gmb_results=gmb.results if gmb is not None else [])
 
 
 def _state_path(gp, date):

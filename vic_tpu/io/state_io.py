@@ -53,6 +53,12 @@ _NAME_MAP = {
     "glac_surf_temp": "GLAC_SURF_TEMP",
     "surf_temp_fbcount": "SURF_TEMP_FBCOUNT",
     "snow_temp_fbcount": "SNOW_TEMP_FBCOUNT",
+    "lake_volume": "LAKE_VOLUME",
+    "lake_temp": "LAKE_TEMP",
+    "lake_ice_we": "LAKE_ICE_WATER_EQ",
+    "lake_ice_area": "LAKE_AREAI",
+    "lake_ice_height": "LAKE_HICE",
+    "lake_swe": "LAKE_SWE",
 }
 _REV_MAP = {v: k for k, v in _NAME_MAP.items()}
 
@@ -74,9 +80,15 @@ def save_state_netcdf(path: str, state: ModelState, gp, date=None):
     hdr = _header(state, gp, date)
     with NetCDFFile(path, "w") as f:
         f.def_dim("cell", hdr["n_cell"])
-        f.def_dim("hru", hdr["max_hru"])
-        f.def_dim("layer", hdr["nlayer"])
-        f.def_dim("node", hdr["nnode"])
+        defined = {}
+
+        def dim_for(size):
+            if size not in defined:
+                name = f"n{size}"
+                f.def_dim(name, size)
+                defined[size] = name
+            return defined[size]
+
         for field, ncname in _NAME_MAP.items():
             arr = np.asarray(getattr(state, field))
             if arr.dtype == bool:
@@ -84,10 +96,7 @@ def save_state_netcdf(path: str, state: ModelState, gp, date=None):
             if arr.dtype not in (np.dtype(np.float32), np.dtype(np.float64),
                                  np.dtype(np.int32)):
                 arr = arr.astype(np.float64)
-            dims = ("cell", "hru")
-            if arr.ndim == 3:
-                dims = dims + (("layer",) if arr.shape[-1] == hdr["nlayer"]
-                               else ("node",))
+            dims = ("cell",) + tuple(dim_for(s) for s in arr.shape[1:])
             f.def_var(ncname, arr.dtype, dims)
         f.put_att("vic_tpu_state_header", json.dumps(hdr))
         f.enddef()
@@ -105,26 +114,27 @@ def load_state_netcdf(path: str, gp, template: ModelState) -> ModelState:
     import jax.numpy as jnp
 
     with NetCDFFile(path) as f:
-        # header check
-        lib = _load()
+        # header check (check_state_file.c:11): cell count + per-variable
+        # shapes must match the run configuration
         n_cell = f.dim_len("cell")
-        max_hru = f.dim_len("hru")
-        nlayer = f.dim_len("layer")
-        nnode = f.dim_len("node")
         tmpl = {k: np.asarray(getattr(template, k)) for k in _NAME_MAP}
-        if (n_cell, max_hru) != tmpl["swq"].shape:
+        if n_cell != tmpl["swq"].shape[0]:
             raise ValueError(
-                f"state file domain {(n_cell, max_hru)} != run domain "
-                f"{tmpl['swq'].shape}")
-        if nlayer != tmpl["moist"].shape[-1] or nnode != \
-                tmpl["node_temp"].shape[-1]:
-            raise ValueError("state file Nlayer/Nnode mismatch")
+                f"state file has {n_cell} cells, run domain has "
+                f"{tmpl['swq'].shape[0]}")
+        for dim_size in {s for k in tmpl for s in tmpl[k].shape[1:]}:
+            name = f"n{dim_size}"
+            try:
+                if f.dim_len(name) != dim_size:
+                    raise ValueError(f"state dim {name} size mismatch")
+            except OSError:
+                raise ValueError(
+                    f"state file missing dimension {name}; "
+                    "Nlayer/Nnode/max_hru mismatch with run options")
         fields = {}
         for field, ncname in _NAME_MAP.items():
             ref = tmpl[field]
             count = list(ref.shape)
-            rd = np.float64 if ref.dtype != np.int32 and ref.dtype != bool \
-                else np.float64
             got = f.get(ncname, [0] * ref.ndim, count, np.float64)
             if ref.dtype == bool:
                 fields[field] = jnp.asarray(got > 0.5)

@@ -36,7 +36,8 @@ from .state import ModelState
 StepOutputs = dict
 
 
-def make_step(params: DeviceParams, gp, geom=None):
+def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
+              lake_params=None):
     """Build the jittable per-record step(state, forcing) -> (state, outputs).
 
     forcing: dict with [n_cell] arrays 'prec' (mm/step), 'air_temp' (C),
@@ -99,12 +100,21 @@ def make_step(params: DeviceParams, gp, geom=None):
         rainonly = calc_rainonly(tair, prec, B(p.max_snow_temp),
                                  B(p.min_rain_temp),
                                  int(gp.temp_th_type))
-        snowfall = (prec - rainonly) * B(p.padj_s)
-        rainfall = rainonly * B(p.padj_r)
+        if gp.corrprec:
+            # gauge undercatch correction (correct_precip.c, CORRPREC)
+            from .physics.hydrology_misc import correct_precip
+            gc_rain, gc_snow = correct_precip(
+                wind, gs_wind_h(p, veg_displ), B(p.rough), B(p.snow_rough))
+        else:
+            gc_rain = gc_snow = 1.0
+        snowfall = gc_snow * (prec - rainonly) * B(p.padj_s)
+        rainfall = gc_rain * rainonly * B(p.padj_r)
         out_prec = snowfall + rainfall
         le = 2.501e6 - 2361.0 * tair
 
-        snow_present = jnp.logical_or(state.swq > 0.0, snowfall > 0.0)
+        snow_present = jnp.logical_or(
+            jnp.logical_or(state.swq > 0.0, snowfall > 0.0),
+            jnp.logical_and(p.overstory, state.snow_canopy > 0.0))
 
         # no-overstory canopy dump when snow falls on stored dew
         dump = jnp.logical_and(~p.overstory,
@@ -113,11 +123,43 @@ def make_step(params: DeviceParams, gp, geom=None):
         rainfall = rainfall + jnp.where(dump, state.wdew, 0.0)
         wdew0 = jnp.where(dump, 0.0, state.wdew)
 
+        # ---- overstory canopy snow interception (solve_snow.c:226 ->
+        # snow_intercept.c) — computed for all lanes, applied to overstory
+        # lanes in the snow path -------------------------------------------
+        from .physics.canopy_snow import snow_intercept
+        surf_att = surf_atten_of(lai, p)
+        short_under0 = sw_in * surf_att
+        short_over_in = (1.0 - surf_att) * sw_in
+        ci = snow_intercept(
+            snowfall_mm=snowfall, rainfall_mm=rainfall,
+            int_snow_m=state.snow_canopy, int_rain_m=wdew0 / 1000.0,
+            tfoliage_old=state.tfoliage, temp_int_storage=0.0 * wdew0,
+            lai=lai, wdmax_mm=wdmax,
+            air_dens=air_dens, vp_air=vp_air, vpd=vpd, pressure=pressure,
+            le=le, tcanopy=tair,
+            net_short_over=(1.0 - veg_albedo) * short_over_in,
+            long_over_in=lw_in,
+            long_under_out=c.STEFAN_B * (tair + c.KELVIN) ** 4,
+            ra_overstory=aero.resist.canopy, wind_over=aero.wind.canopy,
+            z_ref=aero.ref_height.canopy,
+            displacement=aero.displacement.canopy,
+            roughness=aero.roughness.canopy,
+            dt_sec=dt_sec, max_iter=gp.brent_maxiter)
+        ov_snow = jnp.logical_and(p.overstory, snow_present)
+        rainfall = jnp.where(ov_snow, ci.rain_throughfall * 1000.0, rainfall)
+        snowfall_ground = jnp.where(ov_snow, ci.snow_throughfall * 1000.0,
+                                    snowfall)
+        snow_canopy_new = jnp.where(ov_snow, ci.int_snow, state.snow_canopy)
+        wdew0 = jnp.where(ov_snow, ci.int_rain * 1000.0, wdew0)
+        tfoliage_new = jnp.where(ov_snow, ci.tfoliage, tair)
+        canopy_sub_mm = jnp.where(ov_snow, ci.vapor_flux * 1000.0, 0.0)
+        tfol_fb = jnp.where(ov_snow, ci.fbflag, False)
+
         # ---- snow albedo aging (solve_snow.c:418-439) ----------------------
         fresh = snowfall > 0.0
         last_snow = jnp.where(fresh, 0, state.last_snow + 1)
         albedo_aged = snow_albedo(
-            snowfall, state.swq, state.depth, state.albedo, state.cold_content,
+            snowfall_ground, state.swq, state.depth, state.albedo, state.cold_content,
             dt_hours, last_snow.astype(tair.dtype), state.melting,
             B(p.new_snow_alb), B(p.snow_alb_accum_a), B(p.snow_alb_accum_b),
             B(p.snow_alb_thaw_a), B(p.snow_alb_thaw_b),
@@ -137,7 +179,7 @@ def make_step(params: DeviceParams, gp, geom=None):
             pack_temp=state.pack_temp, surf_water=state.surf_water,
             pack_water=state.pack_water, snow_depth=state.depth,
             snow_density=state.density, coldcontent=state.cold_content,
-            rainfall_mm=rainfall, snowfall_mm=snowfall,
+            rainfall_mm=rainfall, snowfall_mm=snowfall_ground,
             air_temp=tair, tcanopy=tair, tgrnd=tgrnd_eff, wind=wind,
             vp_air=vp_air, vpd=vpd, air_dens=air_dens, pressure=pressure,
             longwave_in=lw_in, net_short=net_short_snow, lv=le,
@@ -195,7 +237,7 @@ def make_step(params: DeviceParams, gp, geom=None):
 
         # ---- snowpack density/depth (solve_snow.c:478-496) -----------------
         density_new = snow_density_update(
-            state.swq, state.depth, state.density, surf_temp, snowfall, tair,
+            state.swq, state.depth, state.density, surf_temp, snowfall_ground, tair,
             dt_hours, liquid_water=surf_water + pack_water,
             snthrm=(int(gp.snow_density) == 1))
         density = jnp.where(
@@ -217,7 +259,7 @@ def make_step(params: DeviceParams, gp, geom=None):
             jnp.where(jnp.logical_and(cold_content >= 0.0, in_season),
                       True,
                       jnp.where(jnp.logical_and(state.melting,
-                                                snowfall > c.TRACESNOW),
+                                                snowfall_ground > c.TRACESNOW),
                                 False, state.melting)),
             False)
 
@@ -327,24 +369,32 @@ def make_step(params: DeviceParams, gp, geom=None):
             ice_new = ice0
 
         snow_sub_mm = vapor_flux * 1000.0  # m/step -> mm (loss positive)
-        total_evap = evap_sfree + snow_sub_mm
+        total_evap = evap_sfree + snow_sub_mm + canopy_sub_mm
 
         new_state = ModelState(
             moist=ro.moist, ice=ice_new, wdew=wdew_new,
-            snow_canopy=state.snow_canopy,
+            snow_canopy=snow_canopy_new,
             swq=swq, surf_temp=surf_temp, pack_temp=pack_temp,
             surf_water=surf_water, pack_water=pack_water,
             density=density, depth=depth, albedo=snow_alb,
             last_snow=last_snow, melting=melting, coverage=coverage,
             cold_content=cold_content, snow_flag=snow_present,
-            node_temp=node_temp, tfoliage=tair,
+            node_temp=node_temp, tfoliage=tfoliage_new,
             glac_water_storage=glac_water_storage,
+            # mass_balance = precip_in - water_reaching_surface - sublimation
+            # (surface_fluxes_glac.c:478, m of water equivalent)
             glac_cum_mass_balance=state.glac_cum_mass_balance
-            + jnp.where(glacier, (snowfall - glac_melt_mm) / 1000.0, 0.0),
+            + jnp.where(glacier,
+                        (out_prec - glac_inflow - snow_sub_mm) / 1000.0
+                        - jnp.where(on_ice, glac.vapor_flux, 0.0),
+                        0.0),
             glac_surf_temp=glac_surf_temp,
             surf_temp_fbcount=state.surf_temp_fbcount + fb.astype(jnp.int32),
             snow_temp_fbcount=state.snow_temp_fbcount
             + sm.surf_temp_fbflag.astype(jnp.int32),
+            lake_volume=state.lake_volume, lake_temp=state.lake_temp,
+            lake_ice_we=state.lake_ice_we, lake_ice_area=state.lake_ice_area,
+            lake_ice_height=state.lake_ice_height, lake_swe=state.lake_swe,
         )
 
         # ---- cell aggregation (put_data.c:282-330: sum w*Cv*AreaFract) -----
@@ -352,9 +402,9 @@ def make_step(params: DeviceParams, gp, geom=None):
         agg = lambda x: (x * w).sum(-1)
         # note: swq already includes surf/pack liquid water (snow_melt.c:540)
         storage0 = state.moist.sum(-1) + state.wdew + state.swq * 1000.0 \
-            + state.glac_water_storage
+            + state.snow_canopy * 1000.0 + state.glac_water_storage
         storage1 = ro.moist.sum(-1) + wdew_new + swq * 1000.0 \
-            + glac_water_storage
+            + snow_canopy_new * 1000.0 + glac_water_storage
         influx = out_prec + jnp.where(glacier, glac_melt_mm, 0.0)
         wb_err = (storage1 - storage0) - (
             influx - total_evap - (ro.runoff + glac_outflow) - ro.baseflow)
@@ -386,10 +436,10 @@ def make_step(params: DeviceParams, gp, geom=None):
 
         outputs = {
             # --- water states ---
-            "OUT_SWE": agg(swq * 1000.0),
+            "OUT_SWE": agg((swq + snow_canopy_new) * 1000.0),
             "OUT_SNOW_DEPTH": agg(depth * 100.0),
             "OUT_SNOW_COVER": agg(coverage),
-            "OUT_SNOW_CANOPY": agg(state.snow_canopy * 1000.0),
+            "OUT_SNOW_CANOPY": agg(snow_canopy_new * 1000.0),
             "OUT_WDEW": agg(wdew_new),
             "OUT_SOIL_MOIST": aggl(moist_f),
             "OUT_SOIL_LIQ": aggl(liq_f),
@@ -409,6 +459,9 @@ def make_step(params: DeviceParams, gp, geom=None):
                 jnp.logical_or(bare, snowing), 0.0,
                 layer_evap.sum(-1))),
             "OUT_SUB_SNOW": agg(snow_sub_mm),
+            "OUT_SUB_CANOP": agg(canopy_sub_mm),
+            "OUT_TFOL_FBFLAG": agg(tfol_fb.astype(ts.dtype)),
+            "OUT_VEGT": agg(tfoliage_new),
             "OUT_RUNOFF": agg(ro.runoff + glac_outflow),
             "OUT_BASEFLOW": agg(ro.baseflow),
             "OUT_INFLOW": agg(ppt),
@@ -479,6 +532,70 @@ def make_step(params: DeviceParams, gp, geom=None):
             "OUT_GLAC_OUTFLOW_COEF": agg(kfac),
         }
 
+        # water-table positions (wrap_compute_zwt, compute_zwt.c)
+        if zwt_curves is not None:
+            from .physics.hydrology_misc import compute_zwt
+            cz = zwt_curves["zwt"][:, None]      # [c,1,nl+2,11]
+            cm = zwt_curves["moist"][:, None]
+            zwt_l = compute_zwt(
+                moist_f, cz[:, :, :nl], cm[:, :, :nl])  # per layer
+            zwt2 = compute_zwt(moist_f[..., :-1].sum(-1),
+                               cz[:, :, nl], cm[:, :, nl])
+            zwt3 = compute_zwt(moist_f.sum(-1),
+                               cz[:, :, nl + 1], cm[:, :, nl + 1])
+            # zwt method 1: lowest unsaturated layer's zwt
+            sat = (B(p.max_moist) - moist_f) <= 1e-10
+            all_sat = sat.all(-1)
+            zwt1 = jnp.where(all_sat, 0.0, zwt_l[..., -1])
+            outputs["OUT_ZWT"] = agg(zwt1)
+            outputs["OUT_ZWT2"] = agg(zwt2)
+            outputs["OUT_ZWT3"] = agg(zwt3)
+            outputs["OUT_ZWTL"] = aggl(zwt_l)
+
+        # ---- lake coupling (full_energy.c:714-800 + lakes.eb.c) ------------
+        if gp.lakes and lake_params is not None:
+            from .physics.lake import LakeState, lake_step
+            lp_l = lake_params
+            cell_area = p.cell_area
+            rperc = jnp.asarray(lp_l.rpercent, outputs["OUT_RUNOFF"].dtype)
+            r_in = rperc * outputs["OUT_RUNOFF"] / 1000.0 * cell_area
+            b_in = rperc * outputs["OUT_BASEFLOW"] / 1000.0 * cell_area
+            lstate = LakeState(
+                volume=state.lake_volume, temp=state.lake_temp,
+                ice_water_eq=state.lake_ice_we, ice_area=state.lake_ice_area,
+                ice_height=state.lake_ice_height, swe=state.lake_swe)
+            lres = lake_step(
+                lp_l, lstate,
+                tair=forcing["air_temp"], wind=forcing["wind"],
+                sw_in=forcing["shortwave"], lw_in=forcing["longwave"],
+                vp_air=forcing["vp"], pressure=forcing["pressure"],
+                prec_mm=forcing["prec"], snowfall_mm=forcing["prec"] * 0.0,
+                runoff_in_m3=r_in, baseflow_in_m3=b_in,
+                lat=p.lat, elevation=p.elevation, ds=p.ds, dsmax=p.dsmax,
+                ws_arno=p.ws, c_arno=p.c_expt, dt_sec=dt_sec)
+            new_state = new_state.__class__(
+                **{**{f: getattr(new_state, f) for f in
+                      new_state.__dataclass_fields__},
+                   "lake_volume": lres.state.volume,
+                   "lake_temp": lres.state.temp,
+                   "lake_ice_we": lres.state.ice_water_eq,
+                   "lake_ice_area": lres.state.ice_area,
+                   "lake_ice_height": lres.state.ice_height,
+                   "lake_swe": lres.state.swe})
+            to_mm = 1000.0 / cell_area
+            outputs["OUT_RUNOFF"] = ((1.0 - rperc) * outputs["OUT_RUNOFF"]
+                                     + lres.runoff_out_m3 * to_mm)
+            outputs["OUT_BASEFLOW"] = ((1.0 - rperc) * outputs["OUT_BASEFLOW"]
+                                       + lres.baseflow_out_m3 * to_mm)
+            outputs["OUT_EVAP"] = outputs["OUT_EVAP"] + lres.evap_m3 * to_mm
+            outputs["OUT_LAKE_DEPTH"] = lres.depth
+            outputs["OUT_LAKE_VOLUME"] = lres.state.volume
+            outputs["OUT_LAKE_SURF_AREA"] = lres.sarea
+            outputs["OUT_LAKE_ICE_FRACT"] = lres.ice_fract
+            outputs["OUT_LAKE_ICE_HEIGHT"] = lres.state.ice_height * 100.0
+            outputs["OUT_LAKE_SURF_TEMP"] = lres.surf_temp
+            outputs["OUT_LAKE_EVAP"] = lres.evap_m3 * to_mm
+
         return new_state, outputs
 
     return step
@@ -504,10 +621,10 @@ def surf_atten_of(lai, p: DeviceParams):
 
 
 def run(state: ModelState, forcing_stacked: dict, params: DeviceParams, gp,
-        geom=None):
+        geom=None, zwt_curves=None, lake_params=None):
     """Scan the step over [n_rec, ...] stacked forcing. Returns
     (final_state, StepOutputs stacked over records)."""
-    step = make_step(params, gp, geom)
+    step = make_step(params, gp, geom, zwt_curves, lake_params)
 
     def body(carry, forc):
         return step(carry, forc)

@@ -225,6 +225,43 @@ OUTVAR_META: Dict[str, OutVarMeta] = {
                   "Near surface vapor pressure deficit", "time: mean area: mean"),
     "OUT_REL_HUMID": _M("1", "REL_HUMID", "relative_humidity",
                         "Relative humidity", "time: mean area: mean"),
+    # lake variables (variable_mapping.c:62-67)
+    "OUT_LAKE_DEPTH": _M("m", "LAKE_DEPTH", "", "Lake depth",
+                         "time: point area: point", AGG_END),
+    "OUT_LAKE_VOLUME": _M("m3", "LAKE_VOLUME", "", "Lake volume",
+                          "time: point area: sum", AGG_END),
+    "OUT_LAKE_SURF_AREA": _M("m2", "LAKE_SURF_AREA", "", "Lake surface area",
+                             "time: point area: sum", AGG_END),
+    "OUT_LAKE_ICE_FRACT": _M("1", "LAKE_ICE_FRACT", "",
+                             "Fractional coverage of lake ice",
+                             "time: point area: sum", AGG_END),
+    "OUT_LAKE_ICE_HEIGHT": _M("cm", "LAKE_ICE_HEIGHT", "",
+                              "Thickness of lake ice",
+                              "time: point area: mean", AGG_END),
+    "OUT_LAKE_SURF_TEMP": _M("degree_Celsius", "LAKE_SURF_TEMP", "",
+                             "Lake surface temperature",
+                             "time: point area: mean"),
+    "OUT_LAKE_EVAP": _M("mm", "LAKE_EVAP", "", "Net evaporation from lake",
+                        "time: mean area: mean", AGG_SUM),
+    # extra fluxes
+    "OUT_SUB_CANOP": _M("mm", "SUB_CANOP", "",
+                        "Net sublimation from snow stored in canopy",
+                        "time: mean area: mean", AGG_SUM),
+    "OUT_TFOL_FBFLAG": _M("", "TFOL_FBFLAG", "",
+                          "Foliage temperature fallback count",
+                          "time: point area: mean", AGG_SUM),
+    "OUT_VEGT": _M("degree_Celsius", "VEGT", "canopy_temperature",
+                   "Average vegetation canopy temperature",
+                   "time: point area: mean"),
+    # water table (compute_zwt.c; names per variable_mapping.c)
+    "OUT_ZWT": _M("cm", "ZWT", "", "Water table position (method 1)",
+                  "time: point area: mean", AGG_END),
+    "OUT_ZWT2": _M("cm", "ZWT2", "", "Water table position (method 2, top N-1 lumped)",
+                   "time: point area: mean", AGG_END),
+    "OUT_ZWT3": _M("cm", "ZWT3", "", "Water table position (method 3, all layers lumped)",
+                   "time: point area: mean", AGG_END),
+    "OUT_ZWTL": _M("cm", "ZWTL", "", "Water table position per soil layer",
+                   "time: point area: mean", AGG_END, dim="layer"),
     # PCIC glacier variables (vicNl_def.h:525-547)
     "OUT_GLAC_WAT_STOR": _M("mm", "GLAC_WAT_STOR", "", "Glacier water storage",
                             "time: point area: mean", AGG_END),

@@ -1,0 +1,251 @@
+"""Canopy snow interception and the foliage energy balance.
+
+Batched re-expression of:
+- snow_intercept — /root/reference/snow_intercept.c:81-500 (Kobayashi 1986
+  temperature-dependent interception capacity, wind-blown reduction, overload
+  release, intercepted-snow energy balance with the two-pass 0C pattern and
+  Brent Tfoliage solve, melt/drip, refreeze);
+- CanopyEnergyBal residual — /root/reference/func_canopy_energy_bal.c:9-150
+  (two-sided canopy longwave, sensible, sublimation latent, rain advection);
+- MassRelease — /root/reference/massrelease.c:38-80 (recursive release in
+  0.17*IntSnow increments above the 0.10*IntSnow drip threshold, re-expressed
+  as a fixed-iteration masked loop).
+
+Water units: meters over the step inside (like the reference), converted at
+the boundary.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as c
+from ..ops.rootfind import batched_brent
+from .evap import svp
+from .snow import stability_correction
+
+
+class CanopySnowResult(NamedTuple):
+    int_snow: jnp.ndarray        # canopy intercepted snow (m)
+    int_rain: jnp.ndarray        # canopy intercepted liquid (m)
+    snow_throughfall: jnp.ndarray  # m
+    rain_throughfall: jnp.ndarray  # m (includes drip + released mass)
+    tfoliage: jnp.ndarray
+    vapor_flux: jnp.ndarray      # m/step canopy sublimation (positive = loss)
+    temp_int_storage: jnp.ndarray
+    fbflag: jnp.ndarray
+    latent: jnp.ndarray
+    latent_sub: jnp.ndarray
+    sensible: jnp.ndarray
+    net_long_over: jnp.ndarray
+
+
+def canopy_energy_terms(tfoliage, *, dt, lai_ra_over, air_dens, vp_air,
+                        pressure, le, tcanopy, vpd, rainfall_m,
+                        net_short_over, long_over_in, long_under_out,
+                        int_rain, wind_over, z_ref, displacement, roughness):
+    """CanopyEnergyBal terms at candidate Tfoliage (snow-in-canopy branch,
+    func_canopy_energy_bal.c:30-150). lai_ra_over: overstory aero resistance
+    already x10 for snow smoothing (AR_406* family)."""
+    tkelv = tfoliage + c.KELVIN
+    long_over_out = c.STEFAN_B * tkelv ** 4
+    net_rad = (net_short_over + long_over_in + long_under_out
+               - 2.0 * long_over_out)
+    net_long_over = long_over_in - long_over_out
+
+    ra_over = jnp.where(
+        wind_over > 0.0,
+        lai_ra_over / stability_correction(z_ref, displacement, tfoliage,
+                                           tcanopy, wind_over, roughness),
+        c.HUGE_RESIST)
+
+    es = svp(tfoliage)
+    vmf = air_dens * (c.EPS_RATIO / pressure) * (vp_air - es) / ra_over / c.RHO_W
+    vmf = jnp.where(jnp.logical_and(vpd == 0.0, vmf < 0.0), 0.0, vmf)
+    ls = (677.0 - 0.07 * tfoliage) * c.JOULES_PER_CAL * c.GRAMS_PER_KG
+    latent_sub = ls * vmf * c.RHO_W
+    latent = jnp.zeros_like(latent_sub)
+    vapor_flux = vmf * dt  # m/step
+
+    sensible = air_dens * c.CP * (tcanopy - tfoliage) / ra_over
+    advected = 4186.8 * tcanopy * rainfall_m / dt
+    refreeze = int_rain * c.LF * c.RHO_W / dt
+
+    rest = sensible + latent + latent_sub + net_rad + advected
+    melt_branch = jnp.logical_and(tfoliage == 0.0, rest > -refreeze)
+    refreeze_out = jnp.where(melt_branch, -rest, refreeze)
+    rest_out = jnp.where(melt_branch, 0.0, rest + refreeze)
+    return dict(rest=rest_out, refreeze=refreeze_out, vapor_flux=vapor_flux,
+                latent=latent, latent_sub=latent_sub, sensible=sensible,
+                net_long_over=net_long_over, advected=advected)
+
+
+def mass_release(int_snow, temp_int_storage, n_iter: int = 8):
+    """Fixed-iteration MassRelease (massrelease.c): while melt storage exceeds
+    the 10% threshold, release up to 17% of the intercepted snow per round.
+    Returns (int_snow, temp_int_storage, released, drip)."""
+    released = jnp.zeros_like(int_snow)
+    drip = jnp.zeros_like(int_snow)
+
+    def body(_, carry):
+        isnow, tstore, rel, drp = carry
+        big = isnow > c.MIN_INTERCEPTION_STORAGE
+        threshold = 0.10 * isnow
+        max_release = 0.17 * isnow
+        do_release = jnp.logical_and(big, tstore >= threshold)
+        amount = jnp.minimum(
+            jnp.maximum(isnow - c.MIN_INTERCEPTION_STORAGE, 0.0), max_release)
+        isnow2 = jnp.where(do_release, isnow - amount, isnow)
+        rel2 = rel + jnp.where(do_release, amount, 0.0)
+        # drip branch: storage drains as liquid
+        do_drip = ~do_release
+        tempdrip = jnp.minimum(tstore, isnow2)
+        drp2 = drp + jnp.where(do_drip, tempdrip, 0.0)
+        isnow3 = jnp.where(do_drip, isnow2 - tempdrip, isnow2)
+        tstore2 = jnp.where(do_drip, tstore - tempdrip, tstore)
+        return isnow3, tstore2, rel2, drp2
+
+    int_snow, temp_int_storage, released, drip = jax.lax.fori_loop(
+        0, n_iter, body, (int_snow, temp_int_storage, released, drip))
+    return int_snow, temp_int_storage, released, drip
+
+
+def snow_intercept(*, snowfall_mm, rainfall_mm, int_snow_m, int_rain_m,
+                   tfoliage_old, temp_int_storage, lai, wdmax_mm,
+                   air_dens, vp_air, vpd, pressure, le, tcanopy,
+                   net_short_over, long_over_in, long_under_out,
+                   ra_overstory, wind_over, z_ref, displacement, roughness,
+                   dt_sec, f_cover=1.0, max_iter: int = 30
+                   ) -> CanopySnowResult:
+    """Snow interception + foliage energy balance for overstory lanes
+    (snow_intercept.c:81-500). All *_mm inputs in mm/step; canopy storages in m.
+    """
+    snowfall = snowfall_mm / 1000.0
+    rainfall = rainfall_mm / 1000.0
+    max_int = wdmax_mm / 1000.0
+    int_snow = int_snow_m
+    int_rain = int_rain_m
+    F = f_cover
+
+    # --- interception capacity (Kobayashi 1986; snow_intercept.c:105-130) ---
+    imax1 = 4.0 * c.LAI_SNOW_MULTIPLIER * lai
+    max_snow_int_f = jnp.where(
+        tfoliage_old > -1.0, 4.0,
+        jnp.where(tfoliage_old > -3.0, tfoliage_old * 1.5 + 5.5, 1.0))
+    max_snow_int = jnp.maximum(max_snow_int_f * c.LAI_SNOW_MULTIPLIER * lai,
+                               1e-10)
+    delta = (1.0 - int_snow / max_snow_int) * snowfall
+    delta = jnp.clip(delta, 0.0, jnp.maximum(max_snow_int - int_snow, 0.0))
+    # wind-blown reduction (snow_intercept.c:133-141)
+    blown = jnp.where(
+        jnp.logical_and(tfoliage_old < -3.0,
+                        jnp.logical_and(delta > 0.0, wind_over > 1.0)),
+        jnp.minimum((0.2 * wind_over - 0.2) * delta, delta), 0.0)
+    delta = delta - blown
+    delta = jnp.where(int_snow + delta > imax1, 0.0, delta)
+
+    snow_thru = (snowfall - delta) * F + snowfall * (1.0 - F)
+    # thin canopy snow falls through (snow_intercept.c:147-151)
+    dump = jnp.logical_and(snowfall == 0.0, int_snow < c.MIN_SWQ_EB_THRES)
+    snow_thru = snow_thru + jnp.where(dump, int_snow, 0.0)
+    int_snow = jnp.where(dump, 0.0, int_snow + delta)
+
+    # --- rain interception (snow_intercept.c:157-176) ---
+    max_water = c.SNOW_LIQUID_WATER_CAPACITY * int_snow + max_int
+    fits = (int_rain + rainfall) <= max_water
+    rain_thru = jnp.where(fits, rainfall * (1.0 - F),
+                          (int_rain + rainfall - max_water) * F
+                          + rainfall * (1.0 - F))
+    int_rain = jnp.where(fits, int_rain + rainfall * F, max_water)
+    dump_r = jnp.logical_and(rainfall == 0.0, int_rain < c.MIN_SWQ_EB_THRES)
+    rain_thru = rain_thru + jnp.where(dump_r, int_rain, 0.0)
+    int_rain = jnp.where(dump_r, 0.0, int_rain)
+
+    # --- structural overload (snow_intercept.c:186-196) ---
+    total = int_rain + int_snow
+    over = jnp.maximum(total - imax1, 0.0)
+    frac_rain = jnp.where(total > 0.0, int_rain / jnp.maximum(total, 1e-12),
+                          0.0)
+    rain_thru = rain_thru + over * frac_rain * F
+    snow_thru = snow_thru + over * (1.0 - frac_rain) * F
+    int_rain = int_rain - over * frac_rain
+    int_snow = int_snow - over * (1.0 - frac_rain)
+
+    # --- foliage energy balance (two-pass 0C + Brent) ---
+    term_kwargs = dict(
+        dt=dt_sec, lai_ra_over=ra_overstory * 10.0, air_dens=air_dens,
+        vp_air=vp_air, pressure=pressure, le=le, tcanopy=tcanopy, vpd=vpd,
+        rainfall_m=rainfall, net_short_over=net_short_over,
+        long_over_in=long_over_in, long_under_out=long_under_out,
+        int_rain=int_rain, wind_over=wind_over, z_ref=z_ref,
+        displacement=displacement, roughness=roughness)
+
+    t0 = canopy_energy_terms(jnp.zeros_like(tfoliage_old), **term_kwargs)
+    melt_cond = t0["rest"] == 0.0
+
+    def resid(t):
+        return canopy_energy_terms(t, **term_kwargs)["rest"]
+
+    res = batched_brent(resid, tfoliage_old - c.SNOW_DT,
+                        jnp.minimum(tfoliage_old + c.SNOW_DT, 0.0),
+                        max_iter=max_iter, max_tries=1)
+    t_cold = jnp.where(res.converged, res.root, tfoliage_old)
+    fbflag = jnp.logical_and(~melt_cond, ~res.converged)
+    tfoliage = jnp.where(melt_cond, 0.0, t_cold)
+    terms = canopy_energy_terms(tfoliage, **term_kwargs)
+
+    refreeze_j = terms["refreeze"] * dt_sec
+
+    # vapor flux adjustment vs intercepted snow
+    vflux = terms["vapor_flux"]
+    vflux = jnp.where(-vflux > int_snow, -int_snow, vflux)
+    int_snow = jnp.maximum(int_snow + vflux, 0.0)
+
+    # --- melt / drip / refreeze bookkeeping (snow_intercept.c:300-420,
+    # massrelease.c) — restructured to be exactly mass-conserving:
+    # melt moves snow->liquid; liquid above holding capacity drips; a large
+    # ripe pack also structurally releases snow mass.
+    melting = tfoliage == 0.0
+    melt_eff = jnp.where(
+        jnp.logical_and(melting, refreeze_j < 0.0),
+        jnp.minimum(-refreeze_j / (c.LF * c.RHO_W), int_snow), 0.0)
+    int_snow = int_snow - melt_eff
+    int_rain = int_rain + melt_eff
+
+    # liquid holding capacity overflow -> drip (snow_intercept.c:390-400)
+    max_water = c.SNOW_LIQUID_WATER_CAPACITY * int_snow + max_int
+    drip = jnp.maximum(int_rain - max_water, 0.0)
+    int_rain = int_rain - drip
+
+    # structural mass release when the pack is ripe (massrelease.c: release
+    # up to 17% of the pack above MIN_INTERCEPTION_STORAGE when melt
+    # outflow exceeds 10% of the pack)
+    ripe = jnp.logical_and(int_snow > c.MIN_INTERCEPTION_STORAGE,
+                           drip + melt_eff >= 0.10 * int_snow)
+    released = jnp.where(
+        ripe,
+        jnp.minimum(jnp.maximum(int_snow - c.MIN_INTERCEPTION_STORAGE, 0.0),
+                    0.17 * int_snow), 0.0)
+    int_snow = int_snow - released
+
+    # refreeze branch (cold canopy): freeze intercepted rain
+    frozen = jnp.where(~melting,
+                       jnp.minimum(jnp.maximum(-refreeze_j, 0.0)
+                                   / (c.LF * c.RHO_W), int_rain), 0.0)
+    int_rain = int_rain - frozen
+    int_snow = int_snow + frozen
+
+    rain_thru_total = rain_thru + drip
+    snow_thru_total = snow_thru + released
+    tstore = jnp.where(melting, temp_int_storage + melt_eff, 0.0)
+
+    return CanopySnowResult(
+        int_snow=int_snow, int_rain=int_rain,
+        snow_throughfall=snow_thru_total, rain_throughfall=rain_thru_total,
+        tfoliage=tfoliage, vapor_flux=-vflux,
+        temp_int_storage=tstore,
+        fbflag=fbflag, latent=terms["latent"],
+        latent_sub=terms["latent_sub"], sensible=terms["sensible"],
+        net_long_over=terms["net_long_over"])

@@ -117,7 +117,12 @@ class DeviceParams:
         return self.mask.shape[1]
 
 
-def prepare_domain(domain: Domain, gp, dtype=jnp.float32) -> DeviceParams:
+def prepare_domain(domain: Domain, gp, dtype=jnp.float32,
+                   above_treeline: np.ndarray = None) -> DeviceParams:
+    """above_treeline: optional [n_cell, n_band] bool (compute_treeline):
+    overstory HRUs in above-treeline bands are excluded from the mosaic and
+    remaining weights in those bands are rescaled by the TreeAdjustFactor
+    1/(1 - sum(Cv_excluded)) (put_data.c:196-211, read_vegparam.c:301)."""
     hru, soil, lib, bands = domain.hru, domain.soil, domain.veglib, domain.bands
     vi = hru.veg_idx
     ci = np.arange(soil.n_cell)[:, None]
@@ -133,6 +138,25 @@ def prepare_domain(domain: Domain, gp, dtype=jnp.float32) -> DeviceParams:
 
     weight = hru.cv * np.take_along_axis(bands.area_fract, hru.band, axis=1)
     weight = np.where(hru.mask, weight, 0.0)
+    mask = hru.mask.copy()
+
+    if above_treeline is not None:
+        overstory_hru = np.where(hru.is_bare | hru.is_glacier, False,
+                                 lib.overstory[vi])
+        hru_above = np.take_along_axis(np.asarray(above_treeline), hru.band,
+                                       axis=1)
+        excluded = overstory_hru & hru_above & mask
+        if excluded.any():
+            # TreeAdjustFactor per band: 1/(1 - sum Cv_excluded_in_band)
+            n_band = bands.area_fract.shape[1]
+            for b in range(n_band):
+                in_band = (hru.band == b) & mask
+                cv_excl = np.where(excluded & in_band, hru.cv, 0.0).sum(1)
+                adj = 1.0 / np.maximum(1.0 - cv_excl, 1e-10)
+                keep = in_band & ~excluded
+                weight = np.where(keep, weight * adj[:, None], weight)
+            weight = np.where(excluded, 0.0, weight)
+            mask = mask & ~excluded
 
     # veg height from displacement (calc_veg_params.c: height = displ/0.67)
     displ = lib.displacement[vi]
@@ -144,7 +168,7 @@ def prepare_domain(domain: Domain, gp, dtype=jnp.float32) -> DeviceParams:
     wdmax_m = np.where(no_veg[..., None], 0.0, hru.wdmax)
 
     return DeviceParams(
-        mask=jnp.asarray(hru.mask),
+        mask=jnp.asarray(mask),
         weight=A(weight), cv=A(hru.cv),
         is_glacier=jnp.asarray(hru.is_glacier),
         is_bare=jnp.asarray(hru.is_bare),

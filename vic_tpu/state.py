@@ -62,10 +62,17 @@ class ModelState:
     # fallback counters (FallBackStats)
     surf_temp_fbcount: jnp.ndarray  # int32
     snow_temp_fbcount: jnp.ndarray  # int32
+    # lake (lake_var_struct), per cell
+    lake_volume: jnp.ndarray        # [c] m^3
+    lake_temp: jnp.ndarray          # [c, MAX_LAKE_NODES] C
+    lake_ice_we: jnp.ndarray        # [c] m^3 water equivalent
+    lake_ice_area: jnp.ndarray      # [c] m^2
+    lake_ice_height: jnp.ndarray    # [c] m
+    lake_swe: jnp.ndarray           # [c] m
 
 
-def initial_state(domain, gp, surf_temp_init=None, dtype=jnp.float32
-                  ) -> ModelState:
+def initial_state(domain, gp, surf_temp_init=None, dtype=jnp.float32,
+                  lake_params=None) -> ModelState:
     """Cold-start state (initialize_model_state.c:505-545 QUICK_FLUX case:
     node temps = [surf_temp, surf_temp, avg_temp]; layer moisture from
     soil init_moist; everything else zero)."""
@@ -88,6 +95,20 @@ def initial_state(domain, gp, surf_temp_init=None, dtype=jnp.float32
         [t_surf[..., None], t_surf[..., None],
          jnp.repeat(t_bot[..., None], n_node - 2, axis=-1)], axis=-1)
 
+    from .constants import MAX_LAKE_NODES
+    if lake_params is not None:
+        from .physics.lake import initial_lake_state
+        ls = initial_lake_state(lake_params, domain.soil.avg_temp)
+        lake = dict(lake_volume=ls.volume, lake_temp=ls.temp,
+                    lake_ice_we=ls.ice_water_eq, lake_ice_area=ls.ice_area,
+                    lake_ice_height=ls.ice_height, lake_swe=ls.swe)
+    else:
+        zc = jnp.zeros((n_cell,), dtype)
+        lake = dict(lake_volume=zc,
+                    lake_temp=jnp.zeros((n_cell, MAX_LAKE_NODES), dtype),
+                    lake_ice_we=zc, lake_ice_area=zc, lake_ice_height=zc,
+                    lake_swe=zc)
+
     return ModelState(
         moist=moist, ice=Z(nl), wdew=Z(), snow_canopy=Z(),
         swq=Z(), surf_temp=Z(), pack_temp=Z(), surf_water=Z(), pack_water=Z(),
@@ -99,4 +120,5 @@ def initial_state(domain, gp, surf_temp_init=None, dtype=jnp.float32
         glac_water_storage=Z(), glac_cum_mass_balance=Z(), glac_surf_temp=Z(),
         surf_temp_fbcount=jnp.zeros(sh, jnp.int32),
         snow_temp_fbcount=jnp.zeros(sh, jnp.int32),
+        **lake,
     )
