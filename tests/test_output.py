@@ -90,3 +90,24 @@ class TestAsciiWriter:
         toks = lines[0].split()
         assert toks[0] == "1995" and toks[1] == "01"
         assert len(toks) == 4 + 1 + 3  # date + prec + 3 soil layers
+
+
+class TestBinaryWriter:
+    def test_roundtrip(self, tmp_path):
+        from vic_tpu.output import BinaryOutputWriter
+        n_rec, n_cell = 3, 2
+        outs = fake_outs(n_rec, n_cell)
+        ax = make_time_axis(1995, 1, 1, 0, n_rec, 24)
+        w = BinaryOutputWriter(str(tmp_path), "fluxes",
+                               [50.0, 50.25], [-116.0, -116.0],
+                               ["OUT_PREC", "OUT_SOIL_MOIST"])
+        w.write_all(outs, ax)
+        raw = np.fromfile(w.paths[0], np.uint8)
+        rec_bytes = 4 * 4 + 4 * (1 + 3)
+        assert len(raw) == n_rec * rec_bytes
+        # parse first record
+        import struct
+        y, m, d, h = struct.unpack("<4i", raw[:16].tobytes())
+        assert (y, m, d, h) == (1995, 1, 1, 0)
+        vals = struct.unpack("<4f", raw[16:32].tobytes())
+        np.testing.assert_allclose(vals[0], outs["OUT_PREC"][0, 0], rtol=1e-6)

@@ -84,6 +84,11 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
     if forcing is None:
         forcing = load_forcing(gp, domain, timeaxis)
 
+    if gp.output_force:
+        # OUTPUT_FORCE disaggregation-only mode (vicNl.c:420-490): run the
+        # forcing pipeline and write disaggregated forcings, skip the model.
+        return write_disaggregated_forcings(gp, domain, forcing, timeaxis)
+
     above_treeline = None
     if gp.compute_treeline:
         from .physics.hydrology_misc import compute_treeline, \
@@ -199,6 +204,52 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
                      gmb_results=gmb.results if gmb is not None else [])
 
 
+def write_disaggregated_forcings(gp, domain, forcing, timeaxis) -> RunResult:
+    """OUTPUT_FORCE mode: emit the disaggregated forcing set
+    (write_forcing_file.c), chunked over time (DISAGG_WRITE_CHUNK_SIZE)."""
+    t0 = time.perf_counter()
+    from .forcing.mtclim import svp_mtclim
+    outs = {
+        "OUT_PREC": forcing["prec"],
+        "OUT_AIR_TEMP": forcing["air_temp"],
+        "OUT_SHORTWAVE": forcing["shortwave"],
+        "OUT_LONGWAVE": forcing["longwave"],
+        "OUT_PRESSURE": forcing["pressure"] / 1000.0,
+        "OUT_VP": forcing["vp"] / 1000.0,
+        "OUT_DENSITY": forcing["density"],
+        "OUT_WIND": forcing["wind"],
+        "OUT_REL_HUMID": 100.0 * forcing["vp"]
+        / np.maximum(svp_mtclim(forcing["air_temp"]), 1e-10),
+    }
+    lats, lons = domain.soil.lat, domain.soil.lng
+    n_rec = timeaxis.nrecs
+    if gp.output_format.upper() == "NETCDF":
+        from .output import NetCDFOutputWriter
+        path = os.path.join(gp.result_dir, gp.netcdf_output_filename)
+        w = NetCDFOutputWriter(path, lats, lons, list(outs.keys()),
+                               nlayer=gp.nlayer,
+                               compress=5 if gp.compress else 0)
+        chunk = max(1, gp.disagg_write_chunk_size)
+        tvals = np.arange(n_rec, dtype=float) * (gp.dt / 24.0)
+        for start in range(0, n_rec, chunk):
+            end = min(start + chunk, n_rec)
+            sub = {k: v[start:end] for k, v in outs.items()}
+            w.write_all(sub, tvals[start:end])
+        w.close()
+    else:
+        from .output import AsciiOutputWriter
+        w = AsciiOutputWriter(gp.result_dir, "full_data", lats, lons,
+                              list(outs.keys()),
+                              grid_decimal=gp.grid_decimal)
+        w.write_all(outs, timeaxis)
+        w.close()
+    elapsed = time.perf_counter() - t0
+    return RunResult(outputs=outs, final_state=None, timeaxis=timeaxis,
+                     elapsed_s=elapsed,
+                     cell_steps_per_s=domain.n_cell * n_rec
+                     / max(elapsed, 1e-9), gmb_results=[])
+
+
 def _state_path(gp, date):
     y, m, d = date
     suffix = f"_{y:04d}{m:02d}{d:02d}"
@@ -233,6 +284,17 @@ def write_outputs(gp, domain, timeaxis, agg, steps_per_out):
             compress=5 if gp.compress else 0)
         w.write_all(agg, tvals)
         w.close()
+    elif gp.output_format.upper() == "BINARY":
+        from .output import BinaryOutputWriter
+        w = BinaryOutputWriter(gp.result_dir, "fluxes", lats, lons, var_names,
+                               grid_decimal=gp.grid_decimal)
+        n_out2 = len(next(iter(agg.values())))
+        out_ax = TimeAxis(*[a[::steps_per_out][:n_out2] for a in
+                            (timeaxis.year, timeaxis.month, timeaxis.day,
+                             timeaxis.hour, timeaxis.day_in_year)])
+        w.write_all(agg, out_ax)
+        w.close()
+        return
     else:
         from .output import AsciiOutputWriter
         w = AsciiOutputWriter(gp.result_dir, "fluxes", lats, lons, var_names,

@@ -53,6 +53,9 @@ _NAME_MAP = {
     "glac_surf_temp": "GLAC_SURF_TEMP",
     "surf_temp_fbcount": "SURF_TEMP_FBCOUNT",
     "snow_temp_fbcount": "SNOW_TEMP_FBCOUNT",
+    "mu": "PRCP_MU",
+    "still_storm": "INIT_STILL_STORM",
+    "dry_time": "INIT_DRY_TIME",
     "lake_volume": "LAKE_VOLUME",
     "lake_temp": "LAKE_TEMP",
     "lake_ice_we": "LAKE_ICE_WATER_EQ",

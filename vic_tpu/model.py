@@ -116,6 +116,28 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             jnp.logical_or(state.swq > 0.0, snowfall > 0.0),
             jnp.logical_and(p.overstory, state.snow_canopy > 0.0))
 
+        # ---- distributed-precipitation storm tracking (dist_prec.c:76-152)
+        if gp.dist_prcp:
+            prec_c = B(forcing["prec"])
+            raining = prec_c > 0.0
+            new_mu_raw = 1.0 - jnp.exp(-gp.prec_expt * prec_c)
+            new_mu = jnp.where(snow_present, 1.0, new_mu_raw)
+            storm_end = jnp.logical_and(~raining, state.dry_time >= 24)
+            still0 = jnp.where(storm_end, False, state.still_storm)
+            dry_time = jnp.where(raining, 0,
+                                 jnp.where(storm_end, 0,
+                                           state.dry_time + dt_hours))
+            new_storm = jnp.logical_and(
+                ~still0, jnp.logical_or(prec_c > c.STORM_THRES, snow_present))
+            mu = jnp.where(jnp.logical_or(new_storm,
+                                          jnp.logical_and(still0, raining)),
+                           new_mu, state.mu)
+            still_storm = jnp.logical_or(still0, new_storm)
+        else:
+            mu = state.mu
+            still_storm = state.still_storm
+            dry_time = state.dry_time
+
         # no-overstory canopy dump when snow falls on stored dew
         dump = jnp.logical_and(~p.overstory,
                                jnp.logical_and(snowfall > 0.0,
@@ -170,6 +192,25 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                                  + (1.0 - state.coverage) * bare_albedo)
         net_short_snow = (1.0 - albedo_under) * sw_in
 
+        # ---- blowing-snow sublimation flux (BLOWING; CalcBlowingSnow.c) ----
+        if gp.blowing:
+            from .physics.blowing_snow import calc_blowing_snow
+            blow_flux, _blow_transport = calc_blowing_snow(
+                dt_sec=dt_sec, tair=tair,
+                last_snow=state.last_snow.astype(tair.dtype),
+                surf_water_m=state.surf_water, wind_2m=aero.wind.snow_covered,
+                ls=(677.0 - 0.07 * state.surf_temp) * c.JOULES_PER_CAL
+                * c.GRAMS_PER_KG,
+                air_dens=air_dens, pressure=pressure, eact=vp_air,
+                z0_snow=B(p.snow_rough), zrh=2.0,
+                snowdepth=state.depth, lag_one=p.lag_one,
+                sigma_slope=p.sigma_slope, tsnow=state.surf_temp,
+                is_bare=p.is_bare, fetch=p.fetch,
+                displacement=jnp.maximum(veg_displ, 0.01),
+                roughness=jnp.maximum(veg_rough, 0.001))
+        else:
+            blow_flux = 0.0
+
         # ---- snowpack accumulation/ablation (snow_melt.c) ------------------
         tgrnd = state.node_temp[..., 0]
         glacier = p.is_glacier
@@ -188,7 +229,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             z_ref=aero.ref_height.snow_covered,
             roughness=aero.roughness.snow_covered,
             dt_sec=dt_sec, max_iter=gp.brent_maxiter,
-            tfallback=gp.tfallback)
+            tfallback=gp.tfallback, blowing_flux=blow_flux)
 
         # merge: lanes with snow take the snow result, others keep zero pack
         S = lambda new, old: jnp.where(snow_present, new, old)
@@ -350,7 +391,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             moist0, ice0, layer_evap, ppt,
             B(p.max_moist), B(p.resid_moist), B(p.depth), B(p.ksat),
             B(p.expt), B(p.b_infilt), B(p.ds), B(p.dsmax), B(p.ws),
-            B(p.c_expt), dt_hours)
+            B(p.c_expt), dt_hours, mu=(mu if gp.dist_prcp else None))
 
         # ---- node temperatures + layer ice ---------------------------------
         if fd_nodes:
@@ -392,6 +433,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             surf_temp_fbcount=state.surf_temp_fbcount + fb.astype(jnp.int32),
             snow_temp_fbcount=state.snow_temp_fbcount
             + sm.surf_temp_fbflag.astype(jnp.int32),
+            mu=mu, still_storm=still_storm, dry_time=dry_time,
             lake_volume=state.lake_volume, lake_temp=state.lake_temp,
             lake_ice_we=state.lake_ice_we, lake_ice_area=state.lake_ice_area,
             lake_ice_height=state.lake_ice_height, lake_swe=state.lake_swe,
@@ -460,6 +502,9 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 layer_evap.sum(-1))),
             "OUT_SUB_SNOW": agg(snow_sub_mm),
             "OUT_SUB_CANOP": agg(canopy_sub_mm),
+            "OUT_SUB_BLOWING": agg(
+                (-blow_flux * dt_sec if gp.blowing else 0.0 * tair)
+                * jnp.where(snow_present, 1.0, 0.0)),
             "OUT_TFOL_FBFLAG": agg(tfol_fb.astype(ts.dtype)),
             "OUT_VEGT": agg(tfoliage_new),
             "OUT_RUNOFF": agg(ro.runoff + glac_outflow),

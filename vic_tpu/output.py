@@ -244,6 +244,9 @@ OUTVAR_META: Dict[str, OutVarMeta] = {
     "OUT_LAKE_EVAP": _M("mm", "LAKE_EVAP", "", "Net evaporation from lake",
                         "time: mean area: mean", AGG_SUM),
     # extra fluxes
+    "OUT_SUB_BLOWING": _M("mm", "SUB_BLOWING", "",
+                          "Net sublimation of blowing snow",
+                          "time: mean area: mean", AGG_SUM),
     "OUT_SUB_CANOP": _M("mm", "SUB_CANOP", "",
                         "Net sublimation from snow stored in canopy",
                         "time: mean area: mean", AGG_SUM),
@@ -411,6 +414,49 @@ class NetCDFOutputWriter:
 
     def close(self):
         self.f.close()
+
+
+class BinaryOutputWriter:
+    """Per-cell binary flux files (WriteOutputBinary.c): date as 4 int32
+    columns followed by each variable as little-endian float32 (the
+    reference's OUT_TYPE_FLOAT element type; its packed USINT+multiplier
+    variant is a lossy option we do not reproduce)."""
+
+    def __init__(self, result_dir: str, prefix: str, lats, lons, var_names,
+                 grid_decimal: int = 4):
+        import os
+        self.paths = []
+        self.var_names = [v for v in var_names if v in OUTVAR_META]
+        fmt = f"%.{grid_decimal}f"
+        os.makedirs(result_dir, exist_ok=True)
+        for la, lo in zip(lats, lons):
+            self.paths.append(os.path.join(
+                result_dir, f"{prefix}_{fmt % la}_{fmt % lo}"))
+
+    def write_all(self, outs, timeaxis):
+        n_rec = len(timeaxis.year)
+        for ci, path in enumerate(self.paths):
+            cols = [np.asarray(timeaxis.year, np.int32),
+                    np.asarray(timeaxis.month, np.int32),
+                    np.asarray(timeaxis.day, np.int32),
+                    np.asarray(timeaxis.hour, np.int32)]
+            date_block = np.stack(cols, 1).astype("<i4")
+            data_cols = []
+            for name in self.var_names:
+                v = np.asarray(outs[name])[:n_rec]
+                vc = v[:, ci] if v.ndim >= 2 else v
+                if vc.ndim == 1:
+                    data_cols.append(vc[:, None])
+                else:
+                    data_cols.append(vc)
+            data_block = np.concatenate(data_cols, 1).astype("<f4")
+            with open(path, "wb") as fh:
+                for i in range(n_rec):
+                    fh.write(date_block[i].tobytes())
+                    fh.write(data_block[i].tobytes())
+
+    def close(self):
+        pass
 
 
 class AsciiOutputWriter:

@@ -175,14 +175,16 @@ def stability_correction(z, d, tsurf, tair, wind, z0):
     return jnp.where(tsurf == tair, 1.0, corr)
 
 
-def latent_heat_from_snow(air_dens, eact_air, lv, press, ra, tmean, vpd):
+def latent_heat_from_snow(air_dens, eact_air, lv, press, ra, tmean, vpd,
+                          blowing_flux=0.0):
     """Latent heat fluxes over snow (latent_heat_from_snow.c:66-91).
+    blowing_flux: blowing-snow mass flux kg/m2/s (BLOWING option).
     Returns (latent, latent_sub, vapor_mass_flux kg/m2/s)."""
     es_snow = svp(tmean)
     surface_flux = air_dens * (c.EPS_RATIO / press) * (eact_air - es_snow) / ra
     surface_flux = jnp.where(jnp.logical_and(vpd == 0.0, surface_flux < 0.0),
                              0.0, surface_flux)
-    vapor_flux = surface_flux  # + blowing flux (added by caller when BLOWING)
+    vapor_flux = surface_flux + blowing_flux
     ls = (677.0 - 0.07 * tmean) * c.JOULES_PER_CAL * c.GRAMS_PER_KG
     latent = jnp.where(tmean >= 0.0, lv * vapor_flux, 0.0)
     latent_sub = jnp.where(tmean >= 0.0, 0.0, ls * vapor_flux)
@@ -205,7 +207,8 @@ class SnowEBTerms(NamedTuple):
 def snow_energy_terms(tsurf, *, dt, ra, displacement, z_ref, roughness,
                       air_dens, vp_air, longwave_in, lv, pressure, rain_m,
                       net_short, vpd, wind, old_tsurf, snow_depth, snow_density,
-                      surf_water, surface_swq, tair, tgrnd) -> SnowEBTerms:
+                      surf_water, surface_swq, tair, tgrnd,
+                      blowing_flux=0.0) -> SnowEBTerms:
     """All terms of the snowpack surface energy balance at candidate tsurf
     (SnowPackEnergyBalance.c:calculate). Shapes broadcast over the batch."""
     ra_corr = jnp.where(
@@ -219,7 +222,7 @@ def snow_energy_terms(tsurf, *, dt, ra, displacement, z_ref, roughness,
     sensible = air_dens * c.CP * (tair - tsurf) / ra_corr
 
     latent, latent_sub, vapor_mass_flux = latent_heat_from_snow(
-        air_dens, vp_air, lv, pressure, ra_corr, tsurf, vpd)
+        air_dens, vp_air, lv, pressure, ra_corr, tsurf, vpd, blowing_flux)
     vapor_flux = vapor_mass_flux * dt / c.RHO_W  # kg/m2/s -> m/step
 
     advection = jnp.where(tsurf == 0.0, c.CH_WATER * tair * rain_m / dt, 0.0)
@@ -263,8 +266,8 @@ def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
               rainfall_mm, snowfall_mm,
               air_temp, tcanopy, tgrnd, wind, vp_air, vpd, air_dens, pressure,
               longwave_in, net_short, lv, ra, displacement, z_ref, roughness,
-              dt_sec, max_iter: int = 30, tfallback: bool = True
-              ) -> SnowMeltResult:
+              dt_sec, max_iter: int = 30, tfallback: bool = True,
+              blowing_flux=0.0) -> SnowMeltResult:
     """Batched two-layer snowpack mass/energy update (snow_melt.c:119-560).
 
     All snow states in m of water equivalent; precip inputs in mm/step.
@@ -314,7 +317,7 @@ def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
         net_short=net_short, vpd=vpd, wind=wind, old_tsurf=old_tsurf,
         snow_depth=snow_depth, snow_density=snow_density,
         surf_water=surf_water, surface_swq=surface_swq,
-        tair=tcanopy, tgrnd=tgrnd)
+        tair=tcanopy, tgrnd=tgrnd, blowing_flux=blowing_flux)
 
     terms0 = snow_energy_terms(jnp.zeros_like(swq), **term_kwargs)
     melt_cond = terms0.rest == 0.0

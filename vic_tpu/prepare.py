@@ -44,6 +44,10 @@ class DeviceParams:
     # band factors per HRU
     tfactor: jnp.ndarray         # [c,h] additive temperature lapse
     pfactor: jnp.ndarray         # [c,h] precip multiplier
+    # blowing-snow veg params (read_vegparam.c:113-116)
+    sigma_slope: jnp.ndarray     # [c,h]
+    lag_one: jnp.ndarray
+    fetch: jnp.ndarray
     # veg (monthly [c,h,12] or static [c,h])
     overstory: jnp.ndarray       # bool
     lai_m: jnp.ndarray           # [c,h,12]
@@ -175,6 +179,8 @@ def prepare_domain(domain: Domain, gp, dtype=jnp.float32,
         root=A(hru.root),
         tfactor=band_gather(bands.tfactor),
         pfactor=band_gather(bands.pfactor),
+        sigma_slope=A(hru.sigma_slope), lag_one=A(hru.lag_one),
+        fetch=A(hru.fetch),
         overstory=jnp.asarray(np.where(no_veg, False, lib.overstory[vi])),
         lai_m=A(lai_m), wdmax_m=A(wdmax_m),
         albedo_m=gm(lib.albedo), roughness_m=gm(lib.roughness),

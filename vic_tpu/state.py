@@ -62,6 +62,10 @@ class ModelState:
     # fallback counters (FallBackStats)
     surf_temp_fbcount: jnp.ndarray  # int32
     snow_temp_fbcount: jnp.ndarray  # int32
+    # distributed-precipitation storm tracking (dist_prec.c; HRU.mu)
+    mu: jnp.ndarray                 # [c,h] wet fraction
+    still_storm: jnp.ndarray        # [c,h] bool
+    dry_time: jnp.ndarray           # [c,h] int32 hours since storm paused
     # lake (lake_var_struct), per cell
     lake_volume: jnp.ndarray        # [c] m^3
     lake_temp: jnp.ndarray          # [c, MAX_LAKE_NODES] C
@@ -120,5 +124,7 @@ def initial_state(domain, gp, surf_temp_init=None, dtype=jnp.float32,
         glac_water_storage=Z(), glac_cum_mass_balance=Z(), glac_surf_temp=Z(),
         surf_temp_fbcount=jnp.zeros(sh, jnp.int32),
         snow_temp_fbcount=jnp.zeros(sh, jnp.int32),
+        mu=jnp.ones(sh, dtype), still_storm=jnp.zeros(sh, bool),
+        dry_time=jnp.full(sh, 24, jnp.int32),
         **lake,
     )
