@@ -121,3 +121,71 @@ class TestFrozenSoilMode:
         assert float(fs.ice.max()) > 0.0
         # closure still holds (evap/ice interplay)
         assert float(jnp.abs(outs["OUT_WATER_ERROR"]).max()) < 0.05
+
+
+class TestImplicitSolver:
+    def test_implicit_matches_explicit_warming(self):
+        from vic_tpu.physics.frozen_soil import solve_t_profile_implicit
+        gp = GlobalParams(nlayer=3, nnode=8, quick_flux=False,
+                          frozen_soil=True)
+        dom = synthetic_domain(n_cell=2)
+        geom = build_node_geometry(dom.soil, gp)
+        params = prepare_domain(dom, gp)
+        sh = (2, 3, 8)
+        t0 = jnp.full(sh, -4.0)
+        surf = jnp.full(sh[:2], 8.0)
+        moist = jnp.tile(
+            jnp.asarray(dom.soil.init_moist, jnp.float32)[:, None, :],
+            (1, 3, 1))
+        nodep = distribute_node_moisture(moist, t0, geom, params, frozen=True)
+        imp = solve_t_profile_implicit(
+            t0, surf, nodep["kappa"], nodep["cs"], nodep["moist"],
+            nodep["ice"], geom, params, 86400.0, noflux=False,
+            exp_trans=False, frozen=True)
+        exp = solve_t_profile_explicit(
+            t0, surf, nodep["kappa"], nodep["cs"], nodep["moist"],
+            nodep["ice"], geom, params, 86400.0, noflux=False,
+            exp_trans=False, frozen=True)
+        assert bool(jnp.isfinite(imp.temp).all())
+        # both schemes integrate the same equation: agree within tolerance
+        d = np.abs(np.asarray(imp.temp) - np.asarray(exp.temp))
+        assert d.max() < 1.0, d.max()
+        # implicit profile warms from the surface down
+        assert float(imp.temp[..., 1].mean()) > -4.0
+
+    def test_implicit_full_run(self):
+        gp = GlobalParams(dt=24, nlayer=3, nnode=8, startyear=1995,
+                          nrecs=20, full_energy=True, frozen_soil=True,
+                          quick_flux=False, implicit=True)
+        dom = synthetic_domain(n_cell=3)
+        params = prepare_domain(dom, gp)
+        geom = build_node_geometry(dom.soil, gp)
+        ax = make_time_axis(1995, 1, 1, 0, 20, 24)
+        forc = synthetic_forcing(20, 3)
+        stack = make_forcing_stack(forc, ax)
+        st = initial_state(dom, gp)
+        fs, outs = jax.jit(lambda s, f: run(s, f, params, gp, geom))(st, stack)
+        assert bool(jnp.isfinite(fs.node_temp).all())
+        assert float(jnp.abs(outs["OUT_WATER_ERROR"]).max()) < 0.05
+
+
+def test_spatial_frost_smooths_ice():
+    """With a temperature spread, ice onset is gradual around 0C rather than
+    a sharp switch: near-freezing layers hold less ice than the no-spread
+    estimate at slightly-below-zero mean temps."""
+    from vic_tpu.physics.frozen_soil import estimate_layer_ice
+    gp = GlobalParams(nlayer=3, nnode=8, quick_flux=False, frozen_soil=True)
+    dom = synthetic_domain(n_cell=2)
+    geom = build_node_geometry(dom.soil, gp)
+    params = prepare_domain(dom, gp)
+    node_t = jnp.full((2, 3, 8), -0.05)   # just below freezing
+    moist = jnp.tile(jnp.asarray(dom.soil.init_moist, jnp.float32)[:, None, :],
+                     (1, 3, 1))
+    _, ice_sharp = estimate_layer_ice(node_t, moist, geom, params, frozen=True)
+    _, ice_spread = estimate_layer_ice(node_t, moist, geom, params,
+                                       frozen=True, frost_subareas=10,
+                                       frost_slope=2.0)
+    assert bool(jnp.isfinite(ice_spread).all())
+    # spread averages frozen and unfrozen subareas -> less ice than sharp
+    assert float(ice_spread.sum()) < float(ice_sharp.sum())
+    assert float(ice_spread.sum()) > 0.0

@@ -84,3 +84,20 @@ class TestGlacierMode:
             lambda s, f: run(s, f, params, gp))(state, stack)
         assert bool(jnp.isfinite(outs["OUT_GLAC_MELT"]).all())
         assert bool(jnp.isfinite(outs["OUT_GLAC_OUTFLOW"]).all())
+
+
+class TestBandOutputs:
+    def test_band_resolved(self):
+        gp = GlobalParams(dt=24, nlayer=3, startyear=1995, nrecs=15,
+                          full_energy=True, snow_band=3)
+        domain = synthetic_domain(n_cell=3, n_band=3)
+        params = prepare_domain(domain, gp)
+        ax = make_time_axis(1995, 1, 1, 0, 15, 24)
+        stack = make_forcing_stack(synthetic_forcing(15, 3), ax)
+        state = initial_state(domain, gp)
+        _, outs = jax.jit(lambda s, f: run(s, f, params, gp))(state, stack)
+        assert outs["OUT_SWE_BAND"].shape == (15, 3, 3)
+        # higher (colder) bands accumulate at least as much snow on average
+        swe_b = np.asarray(outs["OUT_SWE_BAND"][-1])
+        assert np.isfinite(swe_b).all()
+        assert bool((outs["OUT_AREA_BAND"].sum(-1) > 0.99).all())

@@ -124,7 +124,8 @@ class GlobalParams:
     lai_src: int = 0                   # LAI_FROM_VEGLIB
     close_energy: bool = False         # reference compile-time CLOSE_ENERGY (user_def.h:36)
     spatial_frost: bool = False        # reference compile-time SPATIAL_FROST
-    frost_subareas: int = 1
+    frost_subareas: int = 10           # FROST_SUBAREAS (user_def.h)
+    frost_slope: float = 2.0           # frost-distribution spread (C)
     spatial_snow: bool = False
 
     # ----- glacier (PCIC extension) -----

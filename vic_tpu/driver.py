@@ -279,7 +279,7 @@ def write_outputs(gp, domain, timeaxis, agg, steps_per_out):
         path = os.path.join(gp.result_dir, gp.netcdf_output_filename)
         w = NetCDFOutputWriter(
             path, lats, lons, var_names, nlayer=gp.nlayer,
-            nnode=max(gp.nnode, 3),
+            nnode=max(gp.nnode, 3), nband=max(gp.snow_band, 1),
             global_attrs=dict(gp.netcdf_attributes),
             compress=5 if gp.compress else 0)
         w.write_all(agg, tvals)

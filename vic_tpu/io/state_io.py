@@ -56,6 +56,7 @@ _NAME_MAP = {
     "mu": "PRCP_MU",
     "still_storm": "INIT_STILL_STORM",
     "dry_time": "INIT_DRY_TIME",
+    "cell_valid": "CELL_VALID",
     "lake_volume": "LAKE_VOLUME",
     "lake_temp": "LAKE_TEMP",
     "lake_ice_we": "LAKE_ICE_WATER_EQ",

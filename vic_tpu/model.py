@@ -366,11 +366,18 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                                               solve_t_profile_explicit)
             nodep = distribute_node_moisture(moist0, state.node_temp, geom,
                                              p, frozen=True)
-            prof = solve_t_profile_explicit(
-                state.node_temp, ts, nodep["kappa"], nodep["cs"],
-                nodep["moist"], nodep["ice"], geom, p, dt_sec,
-                noflux=gp.noflux, exp_trans=gp.exp_trans, frozen=True,
-                max_sweeps=gp.soil_sweep_maxiter)
+            if gp.implicit:
+                from .physics.frozen_soil import solve_t_profile_implicit
+                prof = solve_t_profile_implicit(
+                    state.node_temp, ts, nodep["kappa"], nodep["cs"],
+                    nodep["moist"], nodep["ice"], geom, p, dt_sec,
+                    noflux=gp.noflux, exp_trans=gp.exp_trans, frozen=True)
+            else:
+                prof = solve_t_profile_explicit(
+                    state.node_temp, ts, nodep["kappa"], nodep["cs"],
+                    nodep["moist"], nodep["ice"], geom, p, dt_sec,
+                    noflux=gp.noflux, exp_trans=gp.exp_trans, frozen=True,
+                    max_sweeps=gp.soil_sweep_maxiter)
 
         # suppress soil/canopy ET for snow-covered or snowing lanes
         # (func_surf_energy_bal.c:320: Evap=0 when SNOWING)
@@ -404,8 +411,10 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
 
         if frozen:
             from .physics.frozen_soil import estimate_layer_ice
-            _, ice_new = estimate_layer_ice(node_temp, ro.moist, geom, p,
-                                            frozen=True)
+            _, ice_new = estimate_layer_ice(
+                node_temp, ro.moist, geom, p, frozen=True,
+                frost_subareas=(gp.frost_subareas if gp.spatial_frost else 1),
+                frost_slope=gp.frost_slope)
         else:
             ice_new = ice0
 
@@ -434,6 +443,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             snow_temp_fbcount=state.snow_temp_fbcount
             + sm.surf_temp_fbflag.astype(jnp.int32),
             mu=mu, still_storm=still_storm, dry_time=dry_time,
+            cell_valid=state.cell_valid,
             lake_volume=state.lake_volume, lake_temp=state.lake_temp,
             lake_ice_we=state.lake_ice_we, lake_ice_area=state.lake_ice_area,
             lake_ice_height=state.lake_ice_height, lake_swe=state.lake_swe,
@@ -577,6 +587,38 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             "OUT_GLAC_OUTFLOW_COEF": agg(kfac),
         }
 
+        # ---- band-resolved outputs (put_data.c band accumulation: within a
+        # band each veg tile's Cv sums to 1, so sum(Cv*x) = band average) ----
+        n_band = max(1, gp.snow_band)
+        if n_band > 1:
+            def band_agg(x):
+                cols = []
+                for b in range(n_band):
+                    in_b = jnp.logical_and(p.band == b, p.mask)
+                    cols.append((jnp.where(in_b, p.cv * x, 0.0)).sum(-1))
+                return jnp.stack(cols, -1)      # [c, n_band]
+            outputs["OUT_SWE_BAND"] = band_agg((swq + snow_canopy_new)
+                                               * 1000.0)
+            outputs["OUT_SNOW_DEPTH_BAND"] = band_agg(depth * 100.0)
+            outputs["OUT_SNOW_CANOPY_BAND"] = band_agg(snow_canopy_new
+                                                       * 1000.0)
+            outputs["OUT_SNOW_COVER_BAND"] = band_agg(coverage)
+            outputs["OUT_ALBEDO_BAND"] = band_agg(albedo_under)
+            outputs["OUT_LATENT_BAND"] = band_agg(
+                eb.latent_heat + sm.terms.latent * coverage)
+            outputs["OUT_SENSIBLE_BAND"] = band_agg(
+                eb.sensible_heat + sm.terms.sensible * coverage)
+            outputs["OUT_NET_SHORT_BAND"] = band_agg(
+                net_short_bare + net_short_snow * coverage)
+            outputs["OUT_NET_LONG_BAND"] = band_agg(
+                eb.net_long_bare + sm.terms.net_long * coverage)
+            outputs["OUT_SNOW_MELT_BAND"] = band_agg(melt_out)
+            outputs["OUT_GLAC_MELT_BAND"] = band_agg(glac_melt_mm)
+            outputs["OUT_GLAC_WAT_STOR_BAND"] = band_agg(glac_water_storage)
+            outputs["OUT_AREA_BAND"] = band_agg(jnp.ones_like(coverage))
+            outputs["OUT_ELEV_BAND"] = band_agg(B(p.elevation) * 0.0
+                                                + p.band_elev)
+
         # water-table positions (wrap_compute_zwt, compute_zwt.c)
         if zwt_curves is not None:
             from .physics.hydrology_misc import compute_zwt
@@ -640,6 +682,33 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             outputs["OUT_LAKE_ICE_HEIGHT"] = lres.state.ice_height * 100.0
             outputs["OUT_LAKE_SURF_TEMP"] = lres.surf_temp
             outputs["OUT_LAKE_EVAP"] = lres.evap_m3 * to_mm
+
+        # ---- CONTINUEONERROR: freeze cells whose solution went non-finite
+        # (vicNl.c:521-558 isValid mask, re-expressed as a masked update) ----
+        if gp.continue_on_error:
+            finite = (jnp.isfinite(new_state.moist).all(axis=(-2, -1))
+                      & jnp.isfinite(new_state.swq).all(axis=-1)
+                      & jnp.isfinite(new_state.node_temp).all(axis=(-2, -1)))
+            cell_valid = jnp.logical_and(state.cell_valid, finite)
+
+            def freeze(new, old):
+                v = cell_valid.reshape((-1,) + (1,) * (new.ndim - 1))
+                return jnp.where(v, new, old)
+
+            new_state = jax.tree_util.tree_map(freeze, new_state, state)
+            new_state = new_state.__class__(
+                **{**{f: getattr(new_state, f)
+                      for f in new_state.__dataclass_fields__},
+                   "cell_valid": cell_valid})
+            vmask = cell_valid.astype(ts.dtype)
+            outputs = {k: v * vmask.reshape((-1,) + (1,) * (v.ndim - 1))
+                       for k, v in outputs.items()}
+            outputs["OUT_CELL_VALID"] = vmask
+        else:
+            new_state = new_state.__class__(
+                **{**{f: getattr(new_state, f)
+                      for f in new_state.__dataclass_fields__},
+                   "cell_valid": state.cell_valid})
 
         return new_state, outputs
 

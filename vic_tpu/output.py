@@ -225,6 +225,54 @@ OUTVAR_META: Dict[str, OutVarMeta] = {
                   "Near surface vapor pressure deficit", "time: mean area: mean"),
     "OUT_REL_HUMID": _M("1", "REL_HUMID", "relative_humidity",
                         "Relative humidity", "time: mean area: mean"),
+    # band-resolved variables (variable_mapping.c:176-205)
+    "OUT_SWE_BAND": _M("mm", "SWE_BAND", "lwe_thickness_of_surface_snow_amount",
+                       "Snow water equivalent per band", "time: point area: mean",
+                       AGG_END, dim="band"),
+    "OUT_SNOW_DEPTH_BAND": _M("cm", "SNOW_DEPTH_BAND", "surface_snow_thickness",
+                              "Snow depth per band", "time: point area: mean",
+                              AGG_END, dim="band"),
+    "OUT_SNOW_CANOPY_BAND": _M("mm", "SNOW_CANOPY_BAND", "",
+                               "Canopy snow storage per band",
+                               "time: point area: mean", AGG_END, dim="band"),
+    "OUT_SNOW_COVER_BAND": _M("1", "SNOW_COVER_BAND",
+                              "surface_snow_area_fraction",
+                              "Snow area fraction per band",
+                              "time: point area: sum", AGG_END, dim="band"),
+    "OUT_ALBEDO_BAND": _M("1", "ALBEDO_BAND", "surface_albedo",
+                          "Surface albedo per band", "time: point area: mean",
+                          AGG_AVG, dim="band"),
+    "OUT_LATENT_BAND": _M("W m-2", "LATENT_BAND",
+                          "surface_upward_latent_heat_flux",
+                          "Latent heat flux per band", "time: mean area: mean",
+                          AGG_AVG, dim="band"),
+    "OUT_SENSIBLE_BAND": _M("W m-2", "SENSIBLE_BAND",
+                            "surface_upward_sensible_heat_flux",
+                            "Sensible heat flux per band",
+                            "time: mean area: mean", AGG_AVG, dim="band"),
+    "OUT_NET_SHORT_BAND": _M("W m-2", "NET_SHORT_BAND",
+                             "net_downward_shortwave_flux_in_air",
+                             "Net shortwave per band", "time: mean area: mean",
+                             AGG_AVG, dim="band"),
+    "OUT_NET_LONG_BAND": _M("W m-2", "NET_LONG_BAND",
+                            "net_downward_longwave_flux_in_air",
+                            "Net longwave per band", "time: mean area: mean",
+                            AGG_AVG, dim="band"),
+    "OUT_SNOW_MELT_BAND": _M("mm", "SNOW_MELT_BAND",
+                             "thickness_of_surface_snow_melt_amount",
+                             "Snow melt per band", "time: mean area: mean",
+                             AGG_SUM, dim="band"),
+    "OUT_GLAC_MELT_BAND": _M("mm", "GLAC_MELT_BAND", "",
+                             "Glacier ice melt per band",
+                             "time: mean area: mean", AGG_SUM, dim="band"),
+    "OUT_GLAC_WAT_STOR_BAND": _M("mm", "GLAC_WAT_STOR_BAND", "",
+                                 "Glacier water storage per band",
+                                 "time: point area: mean", AGG_END,
+                                 dim="band"),
+    "OUT_AREA_BAND": _M("1", "AREA_BAND", "", "Band area fraction",
+                        "time: point area: sum", AGG_END, dim="band"),
+    "OUT_ELEV_BAND": _M("m", "ELEV_BAND", "", "Band elevation",
+                        "time: point area: median", AGG_END, dim="band"),
     # lake variables (variable_mapping.c:62-67)
     "OUT_LAKE_DEPTH": _M("m", "LAKE_DEPTH", "", "Lake depth",
                          "time: point area: point", AGG_END),
@@ -339,7 +387,7 @@ class NetCDFOutputWriter:
     FILL = 1.0e20
 
     def __init__(self, path: str, lats: np.ndarray, lons: np.ndarray,
-                 var_names, nlayer: int = 3, nnode: int = 3,
+                 var_names, nlayer: int = 3, nnode: int = 3, nband: int = 1,
                  global_attrs: Optional[dict] = None, compress: int = 0,
                  time_units: str = "days since 1900-01-01"):
         from .io.native import NetCDFFile
@@ -355,6 +403,7 @@ class NetCDFOutputWriter:
         f.def_dim("time", None)
         f.def_dim("depth", nlayer)
         f.def_dim("node", nnode)
+        f.def_dim("band", max(nband, 1))
         f.def_dim("lat", len(self.lat_axis))
         f.def_dim("lon", len(self.lon_axis))
         f.def_var("time", np.float64, ("time",),
@@ -366,7 +415,8 @@ class NetCDFOutputWriter:
         for name in self.var_names:
             m = OUTVAR_META[name]
             dims = ("time",) + (("depth",) if m.dim == "layer" else
-                                ("node",) if m.dim == "node" else ()) \
+                                ("node",) if m.dim == "node" else
+                                ("band",) if m.dim == "band" else ()) \
                 + ("lat", "lon")
             attrs = {"units": m.units, "long_name": m.long_name,
                      "cell_methods": m.cell_methods, "_FillValue_doc": self.FILL}

@@ -343,12 +343,22 @@ def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
                          + E[..., j] * (0.0 - ice0_node[..., j])) / (
                     A[..., j] + 2.0 * C[..., j])
             if frozen:
-                # frozen node: bisection on [T0-SOIL_DT, T0+SOIL_DT]
+                # frozen node: bisection on [T0-SOIL_DT, T0+SOIL_DT]; when the
+                # root lies outside, widen to +-10 like root_brent's TSTEP
+                # bracket expansion (root_brent.c:183-190)
                 lo = t0[..., j] - c.SOIL_DT
                 hi = t0[..., j] + c.SOIL_DT
                 f_lo = node_residual(lo, j, T, j + 1, j - 1)
                 f_hi = node_residual(hi, j, T, j + 1, j - 1)
-                bracketed = f_lo * f_hi < 0.0
+                narrow = f_lo * f_hi < 0.0
+                lo_w = t0[..., j] - 10.0
+                hi_w = t0[..., j] + 10.0
+                f_lo_w = node_residual(lo_w, j, T, j + 1, j - 1)
+                f_hi_w = node_residual(hi_w, j, T, j + 1, j - 1)
+                lo = jnp.where(narrow, lo, lo_w)
+                hi = jnp.where(narrow, hi, hi_w)
+                f_lo = jnp.where(narrow, f_lo, f_lo_w)
+                bracketed = jnp.logical_or(narrow, f_lo_w * f_hi_w < 0.0)
 
                 def bis_body(_, carry):
                     lo_, hi_, flo_ = carry
@@ -411,8 +421,101 @@ def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
     return ProfileResult(temp=T, fbcount=fb, iterations=iters)
 
 
+def solve_t_profile_implicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
+                             geom: NodeGeometry, params, dt_sec,
+                             noflux: bool, exp_trans: bool, frozen: bool,
+                             max_nr: int = 12, relax: float = None
+                             ) -> ProfileResult:
+    """IMPLICIT soil-heat solve (frozen_soil.c:229-300 solve_T_profile_implicit
+    + fda_heat_eqn residual): Newton-Raphson on the full node system.
+
+    The reference factors the dense Jacobian with LU (newt_raph_func_fast.c);
+    the heat-equation Jacobian is tridiagonal, so each NR step here is one
+    batched Thomas solve (ops/tridiag.py). Fixed iteration budget with masked
+    updates; boundary rows (surface node, bottom node unless NOFLUX) are
+    identity.
+    """
+    from ..ops.tridiag import thomas_solve
+
+    nn = t0.shape[-1]
+    B1 = lambda a: a[:, None, :]
+    alpha, beta, gamma = B1(geom.alpha), B1(geom.beta), B1(geom.gamma)
+    mmax = B1(geom.max_moist_node)
+    bub = B1(geom.bubble_node)
+    expt = B1(geom.expt_node)
+    deltat = dt_sec
+    fs = params.fs_active[:, None, None]
+
+    kap_p1 = jnp.roll(kappa, -1, axis=-1)
+    kap_m1 = jnp.roll(kappa, 1, axis=-1)
+    A = cs * alpha * alpha
+    Bc = (kap_p1 - kap_m1) * deltat
+    C = 2.0 * deltat * kappa * alpha / gamma
+    D = 2.0 * deltat * kappa * alpha / beta
+    E = c.ICE_DENSITY * c.LF * alpha * alpha
+
+    def ice_of(t):
+        if not frozen:
+            return jnp.zeros_like(t)
+        iw = jnp.maximum(moist_node - maximum_unfrozen_water(t, mmax, bub,
+                                                             expt), 0.0)
+        return jnp.where(jnp.logical_and(fs, t < 0.0),
+                         jnp.minimum(iw, mmax), 0.0)
+
+    interior = jnp.zeros((nn,), bool).at[1:nn - 1].set(True)
+    if noflux:
+        interior = interior.at[nn - 1].set(True)
+
+    def residual(T):
+        tl = jnp.roll(T, -1, axis=-1)
+        tu = jnp.roll(T, 1, axis=-1)
+        # NOFLUX bottom: mirror neighbor (frozen_soil.c B_last uses T[j])
+        if noflux:
+            tl = tl.at[..., nn - 1].set(T[..., nn - 1])
+        ice = ice_of(T)
+        f = (-A * (T - t0) + Bc * (tl - tu) + C * (tl - T) - D * (T - tu)
+             + E * (ice - ice0_node))
+        return jnp.where(interior, f, 0.0)
+
+    def body(i, carry):
+        T, = carry
+        # reference relaxation schedule RELAX1/2/3 = 0.9/0.7/0.2
+        # (newt_raph_func_fast.c:7-15) — damps the phase-change kink at 0 C
+        relax_i = jnp.where(i == 0, 0.9, jnp.where(i == 1, 0.7, 0.2)) \
+            if relax is None else relax
+        f = residual(T)
+        # tridiagonal Jacobian entries
+        dice = (ice_of(T + 0.05) - ice_of(T - 0.05)) / 0.1
+        dmain = jnp.where(interior, -A - C - D + E * dice, 1.0)
+        dl = jnp.where(interior, -Bc + D, 0.0)
+        du = jnp.where(interior, Bc + C, 0.0)
+        if noflux:
+            # bottom row: tl == T folds the super-diagonal into the diagonal
+            dmain = dmain.at[..., nn - 1].add(
+                jnp.where(interior[nn - 1], Bc[..., nn - 1] + C[..., nn - 1],
+                          0.0))
+            du = du.at[..., nn - 1].set(0.0)
+        # row-scale to O(1) — the raw coefficients are ~1e8 (E = rho_i*Lf*a^2)
+        # which loses the Thomas recurrences to f32 cancellation
+        scale = jnp.where(interior, jnp.abs(dmain) + 1e-6, 1.0)
+        delta = thomas_solve(dl / scale, dmain / scale, du / scale,
+                             -f / scale)
+        delta = jnp.clip(delta, -10.0, 10.0)
+        return (T + relax_i * jnp.where(interior, delta, 0.0),)
+
+    T_init = t0.at[..., 0].set(surf_temp)
+    (T,) = jax.lax.fori_loop(0, max_nr, body, (T_init,))
+    # fallback: non-finite or wild updates revert to previous temps (TFALLBACK)
+    bad = ~jnp.isfinite(T) | (jnp.abs(T - t0) > 40.0)
+    fb = bad.any(-1)
+    T = jnp.where(fb[..., None], t0.at[..., 0].set(surf_temp), T)
+    return ProfileResult(temp=T, fbcount=fb.astype(jnp.int32),
+                         iterations=jnp.int32(max_nr))
+
+
 def estimate_layer_ice(node_temp, moist_mm, geom: NodeGeometry, params,
-                       frozen: bool):
+                       frozen: bool, frost_subareas: int = 1,
+                       frost_slope: float = 0.0):
     """Layer-average temperature and ice content from node temperatures
     (soil_conduction.c:444-616), via the precomputed trapezoid sample maps.
 
@@ -445,9 +548,20 @@ def estimate_layer_ice(node_temp, moist_mm, geom: NodeGeometry, params,
         mm = params.max_moist[:, None, :, None]
         bub = params.bubble[:, None, :, None]
         expt = params.expt[:, None, :, None]
-        ice_samp = jnp.maximum(
-            moist_mm[..., None] - maximum_unfrozen_water(
-                t_samp, mm, bub, expt), 0.0)
+        if frost_subareas > 1:
+            # SPATIAL_FROST (user_def.h:118, soil_conduction.c:444 frost
+            # loop): sample temperatures spread uniformly +-frost_slope/2
+            # around the mean and average the resulting ice contents
+            offs = jnp.linspace(-0.5, 0.5, frost_subareas) * frost_slope
+            t_f = t_samp[..., None] + offs          # [c,h,nl,ns,nf]
+            ice_f = jnp.maximum(
+                moist_mm[..., None, None] - maximum_unfrozen_water(
+                    t_f, mm[..., None], bub[..., None], expt[..., None]), 0.0)
+            ice_samp = ice_f.mean(-1)
+        else:
+            ice_samp = jnp.maximum(
+                moist_mm[..., None] - maximum_unfrozen_water(
+                    t_samp, mm, bub, expt), 0.0)
         layer_ice = (ice_samp * trap).sum(-1)
         layer_ice = jnp.where(params.fs_active[:, None, None], layer_ice, 0.0)
         layer_ice = jnp.minimum(layer_ice, moist_mm)

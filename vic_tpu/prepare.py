@@ -41,7 +41,8 @@ class DeviceParams:
     is_glacier: jnp.ndarray
     is_bare: jnp.ndarray
     root: jnp.ndarray            # [c,h,nl]
-    # band factors per HRU
+    # band structure per HRU
+    band: jnp.ndarray            # [c,h] int32 elevation band index
     tfactor: jnp.ndarray         # [c,h] additive temperature lapse
     pfactor: jnp.ndarray         # [c,h] precip multiplier
     # blowing-snow veg params (read_vegparam.c:113-116)
@@ -177,6 +178,7 @@ def prepare_domain(domain: Domain, gp, dtype=jnp.float32,
         is_glacier=jnp.asarray(hru.is_glacier),
         is_bare=jnp.asarray(hru.is_bare),
         root=A(hru.root),
+        band=jnp.asarray(hru.band),
         tfactor=band_gather(bands.tfactor),
         pfactor=band_gather(bands.pfactor),
         sigma_slope=A(hru.sigma_slope), lag_one=A(hru.lag_one),

@@ -66,6 +66,9 @@ class ModelState:
     mu: jnp.ndarray                 # [c,h] wet fraction
     still_storm: jnp.ndarray        # [c,h] bool
     dry_time: jnp.ndarray           # [c,h] int32 hours since storm paused
+    # CONTINUEONERROR cell validity (vicNl.c:521,545-558): cells whose
+    # solution goes non-finite are frozen and skipped for the rest of the run
+    cell_valid: jnp.ndarray         # [c] bool
     # lake (lake_var_struct), per cell
     lake_volume: jnp.ndarray        # [c] m^3
     lake_temp: jnp.ndarray          # [c, MAX_LAKE_NODES] C
@@ -126,5 +129,6 @@ def initial_state(domain, gp, surf_temp_init=None, dtype=jnp.float32,
         snow_temp_fbcount=jnp.zeros(sh, jnp.int32),
         mu=jnp.ones(sh, dtype), still_storm=jnp.zeros(sh, bool),
         dry_time=jnp.full(sh, 24, jnp.int32),
+        cell_valid=jnp.ones((n_cell,), bool),
         **lake,
     )
