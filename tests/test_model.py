@@ -101,3 +101,15 @@ class TestBandOutputs:
         swe_b = np.asarray(outs["OUT_SWE_BAND"][-1])
         assert np.isfinite(swe_b).all()
         assert bool((outs["OUT_AREA_BAND"].sum(-1) > 0.99).all())
+
+
+class TestSpatialSnow:
+    def test_partial_coverage(self):
+        gp, domain, params, stack, state = build(n_rec=60, spatial_snow=True)
+        _, outs = jax.jit(lambda s, f: run(s, f, params, gp))(state, stack)
+        cov = np.asarray(outs["OUT_SNOW_COVER"])
+        assert np.isfinite(cov).all()
+        assert cov.max() <= 1.0 + 1e-6
+        # thin packs must show partial cover at some point
+        assert ((cov > 0.01) & (cov < 0.95)).any()
+        assert float(np.abs(outs["OUT_WATER_ERROR"]).max()) < 0.01

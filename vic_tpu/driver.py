@@ -78,6 +78,18 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
     from .prepare import prepare_domain
     from .state import initial_state
 
+    # NF sub-stepping (SURVEY.md A.1): when SNOW_STEP < TIME_STEP the
+    # reference runs snow/energy physics NF times per model step. vic-tpu
+    # runs the WHOLE column at SNOW_STEP resolution (a superset: drainage and
+    # runoff also see sub-daily forcing) and aggregates outputs back to the
+    # requested OUT_STEP.
+    if gp.snow_step < gp.dt:
+        if gp.out_step < gp.dt:
+            gp = gp.replace(out_step=gp.dt)
+        nf = gp.dt // gp.snow_step
+        gp = gp.replace(dt=gp.snow_step,
+                        nrecs=(gp.nrecs * nf if gp.nrecs > 0 else gp.nrecs))
+
     timeaxis = time_axis_from_params(gp)
     if domain is None:
         domain = load_domain(gp)
@@ -185,7 +197,8 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
     outs = {k: np.concatenate([o[k] for o in all_outs], axis=0)
             for k in all_outs[0]}
     steps_per_out = max(1, gp.out_step // gp.dt)
-    agg = aggregate_outputs(outs, steps_per_out)
+    agg = aggregate_outputs(outs, steps_per_out, alma=gp.alma_output,
+                            out_dt_sec=gp.out_step * 3600.0)
 
     if write_output:
         write_outputs(gp, domain, timeaxis, agg, steps_per_out)

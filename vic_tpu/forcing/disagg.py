@@ -147,6 +147,19 @@ def build_model_forcing(supplied: Dict[str, np.ndarray], gp, domain,
     def have(k):
         return k in supplied and supplied[k] is not None
 
+    # ALMA_INPUT unit conversions (initialize_atmos.c:255-300): precip rates
+    # mm/s -> mm/step, temperatures K -> C, pressure already Pa
+    if gp.alma_input:
+        dt_s = gp.dt * 3600.0
+        supplied = dict(supplied)
+        for k in ("PREC", "RAINF", "SNOWF", "CRAINF", "CSNOWF", "LSRAINF",
+                  "LSSNOWF"):
+            if have(k):
+                supplied[k] = supplied[k] * dt_s
+        for k in ("AIR_TEMP", "TMAX", "TMIN"):
+            if have(k):
+                supplied[k] = supplied[k] - 273.15
+
     # --- pattern A: AIR_TEMP + PREC at the model step ---------------------
     if have("AIR_TEMP") and have("PREC"):
         air_temp = supplied["AIR_TEMP"][:n_rec]

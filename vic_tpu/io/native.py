@@ -214,7 +214,27 @@ class NetCDFFile:
 
 def read_ascii_table(path: str, ncols: int, max_rows: int = 1 << 22,
                      skip_rows: int = 0) -> np.ndarray:
-    """Fast parse of a whitespace-separated numeric table -> [rows, ncols]."""
+    """Fast parse of a whitespace-separated numeric table -> [rows, ncols].
+    Transparently handles gzip-compressed files (<path>.gz or .gz suffix),
+    mirroring the reference's gzip support (compress_files.c, open_file.c)."""
+    import gzip
+    import os
+    import tempfile
+    gz = None
+    if path.endswith(".gz"):
+        gz = path
+    elif not os.path.exists(path) and os.path.exists(path + ".gz"):
+        gz = path + ".gz"
+    if gz is not None:
+        with gzip.open(gz, "rb") as fh:
+            data = fh.read()
+        tmp = tempfile.NamedTemporaryFile(delete=False, suffix=".txt")
+        tmp.write(data)
+        tmp.close()
+        try:
+            return read_ascii_table(tmp.name, ncols, max_rows, skip_rows)
+        finally:
+            os.unlink(tmp.name)
     lib = _load()
     if lib is None:
         # numpy fallback

@@ -229,4 +229,5 @@ def build_soil_params(cols: dict, gp) -> SoilParams:
         glac_surf_thick=f("glac_surf_thick"), glac_surf_we=f("glac_surf_we"),
         glac_kmin=f("glac_kmin"), glac_dk=f("glac_dk"), glac_a=f("glac_a"),
         glac_albedo=f("glac_albedo"), glac_rough=f("glac_rough"),
+        depth_full_snow_cover=np.full_like(lat, 0.1),
     )

@@ -288,7 +288,17 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             0.0)
         depth = jnp.where(density > 0.0, 1000.0 * swq / jnp.maximum(
             density, 1.0), 0.0)
-        coverage = jnp.where(swq > 0.0, 1.0, 0.0)
+        if gp.spatial_snow:
+            # SPATIAL_SNOW partial coverage (calc_snow_coverage.c,
+            # soil depth_full_snow_cover): linear depletion below the
+            # full-cover depth; fresh snowfall restores full cover
+            dfsc = jnp.maximum(B(p.depth_full_snow_cover), 1e-4)
+            coverage = jnp.where(
+                swq > 0.0,
+                jnp.where(fresh, 1.0, jnp.clip(depth / dfsc, 0.0, 1.0)),
+                0.0)
+        else:
+            coverage = jnp.where(swq > 0.0, 1.0, 0.0)
 
         # MELTING flag (solve_snow.c:500-510, lat-aware melt season window)
         north = B(p.lat) >= 0
@@ -656,7 +666,9 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 tair=forcing["air_temp"], wind=forcing["wind"],
                 sw_in=forcing["shortwave"], lw_in=forcing["longwave"],
                 vp_air=forcing["vp"], pressure=forcing["pressure"],
-                prec_mm=forcing["prec"], snowfall_mm=forcing["prec"] * 0.0,
+                prec_mm=forcing["prec"],
+                snowfall_mm=jnp.where(forcing["air_temp"] < 0.0,
+                                      forcing["prec"], 0.0),
                 runoff_in_m3=r_in, baseflow_in_m3=b_in,
                 lat=p.lat, elevation=p.elevation, ds=p.ds, dsmax=p.dsmax,
                 ws_arno=p.ws, c_arno=p.c_expt, dt_sec=dt_sec)

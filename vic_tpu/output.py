@@ -353,13 +353,22 @@ DEFAULT_SNOW_VARS = (
 )
 
 
-def aggregate_outputs(outs: Dict[str, np.ndarray], steps_per_out: int
+def aggregate_outputs(outs: Dict[str, np.ndarray], steps_per_out: int,
+                      alma: bool = False, out_dt_sec: float = 86400.0
                       ) -> Dict[str, np.ndarray]:
     """Temporal aggregation of stacked per-record outputs [n_rec, ...] into
     output intervals (put_data.c:665-710). SUM accumulates, AVG means, END
-    takes the interval's last record."""
+    takes the interval's last record. With ALMA_OUTPUT, accumulated water
+    fluxes (mm) are converted to mean rates (mm/s) by dividing by the output
+    interval (put_data.c:689-710)."""
     if steps_per_out <= 1:
-        return dict(outs)
+        out = dict(outs)
+        if alma:
+            for name, arr in out.items():
+                meta = OUTVAR_META.get(name)
+                if meta and meta.agg == AGG_SUM and meta.units == "mm":
+                    out[name] = np.asarray(arr) / out_dt_sec
+        return out
     out = {}
     for name, arr in outs.items():
         arr = np.asarray(arr)
@@ -371,6 +380,8 @@ def aggregate_outputs(outs: Dict[str, np.ndarray], steps_per_out: int
         agg = meta.agg if meta else AGG_AVG
         if agg == AGG_SUM:
             out[name] = grouped.sum(axis=1)
+            if alma and meta and meta.units == "mm":
+                out[name] = out[name] / out_dt_sec
         elif agg == AGG_END:
             out[name] = grouped[:, -1]
         else:

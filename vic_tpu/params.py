@@ -102,6 +102,7 @@ class SoilParams:
     glac_a: np.ndarray
     glac_albedo: np.ndarray
     glac_rough: np.ndarray
+    depth_full_snow_cover: np.ndarray  # m (SPATIAL_SNOW; read_soilparam.c:52)
 
     @property
     def n_cell(self) -> int:

@@ -324,9 +324,28 @@ def lake_step(lp: LakeParams, st: LakeState, *, tair, wind, sw_in, lw_in,
                            ice_water_eq * c.RHO_W / RHOICE
                            / jnp.maximum(ice_area, 1.0), 0.0)
 
+    # ---- snow on lake ice (lakes.eb.c:343 ice_melt on snow-covered ice):
+    # snowfall accumulates on the ice fraction; melts with available surface
+    # energy; meltwater joins the lake volume -------------------------------
+    snow_gain_m = jnp.where(ice_area > 0.0, snowfall_mm / 1000.0, 0.0)
+    swe1 = st.swe + snow_gain_m
+    snow_melt_pot = jnp.where(
+        tair > 0.0,
+        (sw_net * 0.6 + jnp.maximum(net_long, 0.0)
+         + jnp.maximum(sensible, 0.0)) * dt_sec / (c.LF * c.RHO_W), 0.0)
+    snow_melt_m = jnp.minimum(swe1, snow_melt_pot)
+    swe_new = jnp.maximum(swe1 - snow_melt_m, 0.0)
+    swe_new = jnp.where(ice_area > 0.0, swe_new, 0.0)
+    # ice gone -> any remaining snow slumps into the lake
+    snow_dump_m = jnp.where(ice_area > 0.0, 0.0, swe1 - snow_melt_m)
+    snowmelt_m3 = (snow_melt_m + jnp.maximum(snow_dump_m, 0.0)) * st.ice_area
+
     # ---- water balance (water_balance:1870) -------------------------------
     inflow_m3 = runoff_in_m3 + baseflow_in_m3
-    prec_m3 = prec_mm / 1000.0 * sarea
+    # precip over open water (and rain through) enters the volume directly;
+    # snow captured on ice is held in the swe store until it melts
+    prec_m3 = (prec_mm / 1000.0 * sarea
+               - snow_gain_m * jnp.minimum(st.ice_area, sarea)) + snowmelt_m3
     evap_m3 = jnp.minimum(evap_mm / 1000.0 * sarea * open_frac,
                           jnp.maximum(liquid + inflow_m3 + prec_m3, 0.0))
     volume = st.volume + inflow_m3 + prec_m3 - evap_m3
@@ -362,7 +381,7 @@ def lake_step(lp: LakeParams, st: LakeState, *, tair, wind, sw_in, lw_in,
                                                     st.temp, t_new),
         ice_water_eq=K(ice_water_eq, st.ice_water_eq),
         ice_area=K(ice_area, st.ice_area),
-        ice_height=K(ice_height, st.ice_height), swe=st.swe)
+        ice_height=K(ice_height, st.ice_height), swe=K(swe_new, st.swe))
     return LakeStepResult(
         state=new_state,
         evap_m3=jnp.where(keep, 0.0, evap_m3),

@@ -111,6 +111,7 @@ class DeviceParams:
     glac_a: jnp.ndarray
     glac_albedo: jnp.ndarray
     glac_rough: jnp.ndarray
+    depth_full_snow_cover: jnp.ndarray  # [c]
     band_elev: jnp.ndarray       # [c,h] elevation of each HRU's band
 
     @property
@@ -216,5 +217,6 @@ def prepare_domain(domain: Domain, gp, dtype=jnp.float32,
         glac_kmin=A(soil.glac_kmin), glac_dk=A(soil.glac_dk),
         glac_a=A(soil.glac_a), glac_albedo=A(soil.glac_albedo),
         glac_rough=A(soil.glac_rough),
+        depth_full_snow_cover=A(soil.depth_full_snow_cover),
         band_elev=band_gather(bands.band_elev),
     )

@@ -87,6 +87,7 @@ def synthetic_soil(n_cell: int, n_layer: int = 3, seed: int = 0) -> SoilParams:
         glac_surf_thick=g(100.0), glac_surf_we=g(91.7),
         glac_kmin=g(0.01), glac_dk=g(0.24), glac_a=g(20.0),
         glac_albedo=g(0.3), glac_rough=g(0.002),
+        depth_full_snow_cover=g(0.1),
     )
 
 
