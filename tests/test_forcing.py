@@ -159,3 +159,11 @@ class TestBuildModelForcing:
         # daily precip conserved
         np.testing.assert_allclose(forc["prec"][:8, 0].sum(), prec[0, 0],
                                    rtol=1e-6)
+
+
+def test_forcing_stats():
+    from vic_tpu.forcing.ingest import forcing_stats
+    f = {"prec": np.array([[0.0, 2.0], [4.0, 2.0]])}
+    s = forcing_stats(f)
+    assert s["prec"]["mean"] == 2.0
+    assert s["prec"]["max"] == 4.0

@@ -113,3 +113,19 @@ class TestSpatialSnow:
         # thin packs must show partial cover at some point
         assert ((cov > 0.01) & (cov < 0.95)).any()
         assert float(np.abs(outs["OUT_WATER_ERROR"]).max()) < 0.01
+
+
+class TestEnergyClosure:
+    def test_energy_error_small_full_energy(self):
+        """In full-energy mode the surface EB residual at the accepted Ts
+        (OUT_ENERGY_ERROR) should be near zero wherever the Brent solve
+        converged (TFALLBACK lanes may carry residual)."""
+        gp, domain, params, stack, state = build(n_rec=20, full_energy=True)
+        fs, outs = jax.jit(lambda s, f: run(s, f, params, gp))(state, stack)
+        err = np.asarray(outs["OUT_ENERGY_ERROR"])
+        fb = np.asarray(outs["OUT_SURFT_FBFLAG"])
+        converged = fb < 1e-6
+        assert np.isfinite(err).all()
+        # median absolute closure under 5 W/m^2 on converged steps
+        vals = np.abs(err[converged]) if converged.any() else np.abs(err)
+        assert np.median(vals) < 5.0, np.median(vals)

@@ -126,3 +126,14 @@ def ingest_forcing(gp, domain, timeaxis) -> Dict[str, np.ndarray]:
 
     from .disagg import build_model_forcing
     return build_model_forcing(supplied, gp, domain, timeaxis)
+
+
+def forcing_stats(forcing: dict) -> dict:
+    """QC statistics per forcing variable (calc_forcing_stats.c: mean/sigma/
+    min/max over the record). Returns {var: {mean, std, min, max}}."""
+    out = {}
+    for k, v in forcing.items():
+        a = np.asarray(v, np.float64)
+        out[k] = {"mean": float(a.mean()), "std": float(a.std()),
+                  "min": float(a.min()), "max": float(a.max())}
+    return out
