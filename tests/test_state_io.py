@@ -75,3 +75,50 @@ def test_restart_is_exact(tmp_path):
     np.testing.assert_allclose(np.asarray(outs_b["OUT_RUNOFF"][-1]),
                                np.asarray(outs_full["OUT_RUNOFF"][-1]),
                                rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("fmt", ["ASCII", "BINARY"])
+def test_legacy_state_roundtrip(tmp_path, fmt):
+    """Reference-format ASCII/BINARY state files (StateIOASCII.c /
+    StateIOBinary.c / write_model_state.c) round-trip all prognostic
+    fields."""
+    gp, dom, params, stack = setup_run(n_rec=10)
+    st0 = initial_state(dom, gp)
+    fs, _ = jax.jit(lambda s, f: run(s, f, params, gp))(st0, stack)
+    path = str(tmp_path / f"state_{fmt.lower()}")
+    save_state(path, fs, gp, date=(1995, 1, 10), fmt=fmt, domain=dom)
+    restored = load_state(path, gp, template=st0, domain=dom)
+    for k in ("moist", "ice", "wdew", "swq", "surf_temp", "pack_temp",
+              "surf_water", "pack_water", "density", "depth", "albedo",
+              "cold_content", "node_temp", "tfoliage", "snow_canopy",
+              "glac_water_storage", "glac_cum_mass_balance"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(restored, k)), np.asarray(getattr(fs, k)),
+            rtol=1e-6, atol=1e-9, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(restored.last_snow),
+                                  np.asarray(fs.last_snow))
+    np.testing.assert_array_equal(np.asarray(restored.melting),
+                                  np.asarray(fs.melting))
+
+
+@pytest.mark.parametrize("fmt", ["ASCII", "BINARY"])
+def test_legacy_state_resume_matches(tmp_path, fmt):
+    """Resuming from a legacy-format checkpoint reproduces the uninterrupted
+    run within float tolerance (exceeds the reference, whose restart is
+    documented non-reproducible)."""
+    gp, dom, params, stack = setup_run(n_rec=16)
+    st0 = initial_state(dom, gp)
+    runner = jax.jit(lambda s, f: run(s, f, params, gp))
+    fs_full, _ = runner(st0, stack)
+    half1 = {k: v[:8] for k, v in stack.items()}
+    half2 = {k: v[8:] for k, v in stack.items()}
+    fs_a, _ = runner(st0, half1)
+    path = str(tmp_path / "legacy_mid")
+    save_state(path, fs_a, gp, date=(1995, 1, 8), fmt=fmt, domain=dom)
+    fs_b = load_state(path, gp, template=st0, domain=dom)
+    fs_resumed, _ = runner(fs_b, half2)
+    np.testing.assert_allclose(np.asarray(fs_resumed.moist),
+                               np.asarray(fs_full.moist),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fs_resumed.swq),
+                               np.asarray(fs_full.swq), rtol=1e-5, atol=1e-7)

@@ -139,7 +139,7 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
     if gp.init_state and (init_state_path or gp.init_state_file):
         from .io.state_io import load_state
         state = load_state(init_state_path or gp.init_state_file, gp,
-                           template=state)
+                           template=state, domain=domain)
 
     step = make_step(params, gp, geom, zwt_curves, lake_params)
 
@@ -208,7 +208,8 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
         date = (int(timeaxis.year[-1]), int(timeaxis.month[-1]),
                 int(timeaxis.day[-1]))
         save_state(_state_path(gp, date), state, gp, date=date,
-                   fmt=gp.state_format)
+                   fmt=gp.state_format, domain=domain, geom=geom,
+                   lake_params=lake_params)
 
     n_cell = domain.n_cell
     return RunResult(outputs=agg, final_state=state, timeaxis=timeaxis,

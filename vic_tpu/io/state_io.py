@@ -170,17 +170,35 @@ def load_state_npz(path: str, gp, template: ModelState) -> ModelState:
 
 
 def save_state(path: str, state: ModelState, gp, date=None,
-               fmt: str = "NETCDF"):
+               fmt: str = "NETCDF", domain=None, geom=None, gmb=None,
+               lake_params=None):
     from . import native
-    if fmt.upper() == "NETCDF" and native.available():
+    fmt = fmt.upper()
+    if fmt in ("ASCII", "BINARY") and domain is not None:
+        from .state_legacy import write_state_legacy
+        write_state_legacy(path, state, gp, domain, date=date, fmt=fmt,
+                           geom=geom, gmb=gmb, lake_params=lake_params)
+    elif fmt == "NETCDF" and native.available():
         save_state_netcdf(path, state, gp, date)
     else:
         save_state_npz(path if path.endswith(".npz") else path + ".npz",
                        state, gp, date)
 
 
-def load_state(path: str, gp, template: ModelState) -> ModelState:
+def load_state(path: str, gp, template: ModelState,
+               domain=None) -> ModelState:
     if path.endswith(".npz") or not os.path.exists(path):
         p = path if path.endswith(".npz") else path + ".npz"
         return load_state_npz(p, gp, template)
+    with open(path, "rb") as fh:
+        magic = fh.read(8)
+    if magic[:3] == b"CDF" or magic[:8] == b"\x89HDF\r\n\x1a\n":
+        return load_state_netcdf(path, gp, template)
+    if domain is not None:
+        from .state_legacy import load_state_legacy
+        # reference ASCII headers start with the year digits; anything
+        # non-text is its raw BINARY format (StateIOBinary.c:22-39)
+        is_ascii = all(c in b"0123456789 \t\r\n-" for c in magic)
+        return load_state_legacy(path, gp, domain, template,
+                                 fmt="ASCII" if is_ascii else "BINARY")
     return load_state_netcdf(path, gp, template)
