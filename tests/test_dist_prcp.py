@@ -61,3 +61,46 @@ def test_mu_one_when_snow():
     swq = np.asarray(fs.swq)
     mu = np.asarray(fs.mu)
     assert (mu[swq > 0] > 0.999).all()
+
+
+def test_storm_transfer_conserves_mass():
+    """Both storm transfers must conserve mu-weighted water
+    (initialize_new_storm.c / redistribute_during_storm.c)."""
+    from vic_tpu.physics.dist_prcp import (average_for_storm,
+                                           redistribute_for_storm)
+    rng = np.random.default_rng(0)
+    wet = jnp.asarray(rng.uniform(5, 80, (64,)))
+    dry = jnp.asarray(rng.uniform(5, 80, (64,)))
+    mu_old = jnp.asarray(rng.uniform(0.05, 0.95, (64,)))
+    mu_new = jnp.asarray(rng.uniform(0.05, 0.95, (64,)))
+    max_val = jnp.full((64,), 200.0)
+
+    aw, ad = average_for_storm(wet, dry, mu_old)
+    np.testing.assert_allclose(np.asarray(aw), np.asarray(ad))
+    np.testing.assert_allclose(
+        np.asarray(mu_new * aw + (1 - mu_new) * ad),
+        np.asarray(mu_old * wet + (1 - mu_old) * dry), rtol=1e-6)
+
+    rw, rd = redistribute_for_storm(wet, dry, max_val, mu_old, mu_new)
+    np.testing.assert_allclose(
+        np.asarray(mu_new * rw + (1 - mu_new) * rd),
+        np.asarray(mu_old * wet + (1 - mu_old) * dry), rtol=1e-6)
+
+
+def test_wet_dry_lanes_diverge():
+    """During a partial-area storm the wet column must be wetter than the
+    dry column (precip falls only on the wet fraction)."""
+    fs, _ = run_case(dist=True)
+    wet = np.asarray(fs.moist).sum(-1)
+    dry = np.asarray(fs.moist_dry).sum(-1)
+    mu = np.asarray(fs.mu)
+    part = mu < 0.999
+    assert part.any()
+    assert (wet[part] >= dry[part] - 1e-6).all()
+    assert (wet[part] > dry[part] + 1e-3).any()
+
+
+def test_dist_off_keeps_lanes_equal():
+    fs, _ = run_case(dist=False)
+    np.testing.assert_allclose(np.asarray(fs.moist),
+                               np.asarray(fs.moist_dry))

@@ -32,6 +32,12 @@ _NAME_MAP = {
     "moist": "LAYER_MOIST",
     "ice": "LAYER_SOIL_ICE",
     "wdew": "HRU_VEG_VAR_WDEW",
+    # DIST_PRCP dry-fraction columns: the reference stores these under the
+    # same variable IDs indexed by DIST_DIM (write_model_state.c:193-235);
+    # our name-based schema suffixes _DRY instead
+    "moist_dry": "LAYER_MOIST_DRY",
+    "ice_dry": "LAYER_SOIL_ICE_DRY",
+    "wdew_dry": "HRU_VEG_VAR_WDEW_DRY",
     "snow_canopy": "SNOW_CANOPY",
     "swq": "SNOW_SWQ",
     "surf_temp": "SNOW_SURF_TEMP",

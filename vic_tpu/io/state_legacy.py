@@ -195,7 +195,8 @@ def write_state_legacy(path: str, state: ModelState, gp, domain, date=None,
     hru, soil = domain.hru, domain.soil
     veg_class = domain.veglib.veg_class
     s = {k: np.asarray(getattr(state, k)) for k in (
-        "moist", "ice", "wdew", "snow_canopy", "swq", "surf_temp",
+        "moist", "ice", "wdew", "moist_dry", "ice_dry", "wdew_dry",
+        "snow_canopy", "swq", "surf_temp",
         "pack_temp", "surf_water", "pack_water", "density", "depth",
         "albedo", "last_snow", "melting", "cold_content", "node_temp",
         "tfoliage", "glac_water_storage", "glac_cum_mass_balance",
@@ -238,14 +239,14 @@ def write_state_legacy(path: str, state: ModelState, gp, domain, date=None,
         for h in hrus:
             w.ints(int(hru.band[ci, h]), int(veg_class[hru.veg_idx[ci, h]]))
             w.newline()
-            for _dist in range(ndist):
-                # vic-tpu carries one (mu-weighted) moisture lane; both dist
-                # lanes restart identical, matching the reference's restart-
-                # with-mu=1 convention (write_model_state.c:21-24)
-                w.dbls(*s["moist"][ci, h])
-                w.dbls(*s["ice"][ci, h])
+            for dist in range(ndist):
+                # dist 0 = WET column, dist 1 = DRY column
+                # (write_model_state.c:193-235 DIST_DIM loop)
+                sfx = "_dry" if dist == 1 else ""
+                w.dbls(*s["moist" + sfx][ci, h])
+                w.dbls(*s["ice" + sfx][ci, h])
                 if not hru.is_bare[ci, h]:
-                    w.dbls(float(s["wdew"][ci, h]))
+                    w.dbls(float(s["wdew" + sfx][ci, h]))
             w.dbls(s["snow_canopy"][ci, h], s["density"][ci, h],
                    s["depth"][ci, h], s["pack_water"][ci, h],
                    s["surf_water"][ci, h], s["swq"][ci, h])
@@ -317,7 +318,8 @@ def load_state_legacy(path: str, gp, domain, template: ModelState,
     _y, _m, _d = r.ints(3)
     nl_f, nn_f = r.ints(2)
     tmpl = {k: np.array(getattr(template, k)) for k in (
-        "moist", "ice", "wdew", "snow_canopy", "swq", "surf_temp",
+        "moist", "ice", "wdew", "moist_dry", "ice_dry", "wdew_dry",
+        "snow_canopy", "swq", "surf_temp",
         "pack_temp", "surf_water", "pack_water", "density", "depth",
         "albedo", "last_snow", "melting", "cold_content", "node_temp",
         "tfoliage", "glac_water_storage", "glac_cum_mass_balance",
@@ -359,10 +361,15 @@ def load_state_legacy(path: str, gp, domain, template: ModelState,
                 moist = r.dbls(nl)
                 ice = r.dbls(nl)
                 wd = r.dbls(1)[0] if not hru.is_bare[ci, h] else 0.0
-                if dist == 0:   # restart with mu=1: wet lane is the state
-                    tmpl["moist"][ci, h] = moist
-                    tmpl["ice"][ci, h] = ice
-                    tmpl["wdew"][ci, h] = wd
+                sfx = "_dry" if dist == 1 else ""
+                tmpl["moist" + sfx][ci, h] = moist
+                tmpl["ice" + sfx][ci, h] = ice
+                tmpl["wdew" + sfx][ci, h] = wd
+                if ndist == 1:
+                    # single-dist file: both columns restart identical
+                    tmpl["moist_dry"][ci, h] = moist
+                    tmpl["ice_dry"][ci, h] = ice
+                    tmpl["wdew_dry"][ci, h] = wd
             (tmpl["snow_canopy"][ci, h], tmpl["density"][ci, h],
              tmpl["depth"][ci, h], tmpl["pack_water"][ci, h],
              tmpl["surf_water"][ci, h], tmpl["swq"][ci, h]) = r.dbls(6)

@@ -120,30 +120,76 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
         if gp.dist_prcp:
             prec_c = B(forcing["prec"])
             raining = prec_c > 0.0
-            new_mu_raw = 1.0 - jnp.exp(-gp.prec_expt * prec_c)
-            new_mu = jnp.where(snow_present, 1.0, new_mu_raw)
-            storm_end = jnp.logical_and(~raining, state.dry_time >= 24)
+            # NEW_MU: intensity-based wet fraction; 1 whenever snow is on the
+            # ground/canopy or falling; unchanged when no rain falls
+            # (dist_prec.c:81-124)
+            new_mu = jnp.where(
+                snow_present, 1.0,
+                jnp.where(raining, 1.0 - jnp.exp(-gp.prec_expt * prec_c),
+                          state.mu))
+            # DRY_TIME accumulates across dry sub-periods of a storm and is
+            # NOT reset by rain (dist_prec.c:116-124, 03-27-03 history note)
+            storm_end = jnp.logical_and(
+                ~snow_present, jnp.logical_and(~raining,
+                                               state.dry_time >= 24))
             still0 = jnp.where(storm_end, False, state.still_storm)
-            dry_time = jnp.where(raining, 0,
-                                 jnp.where(storm_end, 0,
-                                           state.dry_time + dt_hours))
+            dry_time = jnp.where(
+                jnp.logical_or(raining, snow_present), state.dry_time,
+                jnp.where(storm_end, 0, state.dry_time + dt_hours))
             new_storm = jnp.logical_and(
                 ~still0, jnp.logical_or(prec_c > c.STORM_THRES, snow_present))
-            mu = jnp.where(jnp.logical_or(new_storm,
-                                          jnp.logical_and(still0, raining)),
-                           new_mu, state.mu)
+            redist = jnp.logical_and(
+                ~new_storm, jnp.logical_and(still0, new_mu != state.mu))
+            mu = jnp.where(jnp.logical_or(new_storm, redist), new_mu,
+                           state.mu)
             still_storm = jnp.logical_or(still0, new_storm)
+
+            # wet/dry column transfers: storm-onset averaging
+            # (initialize_new_storm.c) and mid-storm redistribution
+            # (redistribute_during_storm.c), mass-conserving in mu-weights
+            from .physics.dist_prcp import storm_transfer
+            mu_old = state.mu
+            am, rm = new_storm[..., None], redist[..., None]
+            moist_w, moist_d = storm_transfer(
+                state.moist, state.moist_dry, B(p.max_moist),
+                mu_old[..., None], mu[..., None], am, rm)
+            ice_w, ice_d = storm_transfer(
+                state.ice, state.ice_dry, B(p.max_moist),
+                mu_old[..., None], mu[..., None], am, rm)
+            wdew_w, wdew_d = storm_transfer(
+                state.wdew, state.wdew_dry, wdmax, mu_old, mu,
+                new_storm, redist)
+            # frozen part cannot exceed the transferred total
+            ice_w = jnp.minimum(ice_w, moist_w)
+            ice_d = jnp.minimum(ice_d, moist_d)
+            mu_safe = jnp.maximum(mu, 1e-6)
+            dw = lambda w, d: mu * w + (1.0 - mu) * d
+            dwl = lambda w, d: (mu[..., None] * w
+                                + (1.0 - mu[..., None]) * d)
         else:
             mu = state.mu
             still_storm = state.still_storm
             dry_time = state.dry_time
+            moist_w, moist_d = state.moist, state.moist_dry
+            ice_w, ice_d = state.ice, state.ice_dry
+            wdew_w, wdew_d = state.wdew, state.wdew_dry
+            dw = lambda w, d: w
+            dwl = lambda w, d: w
+
+        if gp.dist_prcp:
+            # precipitation falls on the wet fraction only, at intensity
+            # P/mu (surface_fluxes.c:420); mu==1 whenever snow is involved,
+            # and calc_rainonly is linear in prec so partition-then-divide
+            # matches the reference's divide-then-partition (calc_rainonly.c)
+            rainfall = rainfall / mu_safe
+            snowfall = snowfall / mu_safe
 
         # no-overstory canopy dump when snow falls on stored dew
         dump = jnp.logical_and(~p.overstory,
                                jnp.logical_and(snowfall > 0.0,
-                                               state.wdew > 0.0))
-        rainfall = rainfall + jnp.where(dump, state.wdew, 0.0)
-        wdew0 = jnp.where(dump, 0.0, state.wdew)
+                                               wdew_w > 0.0))
+        rainfall = rainfall + jnp.where(dump, wdew_w, 0.0)
+        wdew0 = jnp.where(dump, 0.0, wdew_w)
 
         # ---- overstory canopy snow interception (solve_snow.c:226 ->
         # snow_intercept.c) — computed for all lanes, applied to overstory
@@ -315,17 +361,21 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             False)
 
         # ---- surface energy balance on snow-free ground --------------------
-        moist0 = state.moist
-        ice0 = state.ice
+        moist0 = moist_w          # wet-lane moisture drives evap/runoff
+        ice0 = ice_w
+        # thermal properties use the mu-averaged column
+        # (prepare_full_energy.c:52-56 find_average_layer)
+        moist_avg = dwl(moist_w, moist_d)
+        ice_avg = dwl(ice_w, ice_d)
         kappa, cs = layer_thermal_props(
-            moist0[..., :2], ice0[..., :2], B(p.depth)[..., :2],
+            moist_avg[..., :2], ice_avg[..., :2], B(p.depth)[..., :2],
             B(p.soil_dens_min)[..., :2], B(p.bulk_dens_min)[..., :2],
             B(p.quartz)[..., :2], B(p.soil_density)[..., :2],
             B(p.bulk_density)[..., :2], B(p.organic)[..., :2])
         d1 = B(p.depth)[..., 0]
         d2 = B(p.dp) - d1
-        moist0_vol = moist0[..., 0] / (B(p.depth)[..., 0] * 1000.0)
-        ice0_vol = ice0[..., 0] / (B(p.depth)[..., 0] * 1000.0)
+        moist0_vol = moist_avg[..., 0] / (B(p.depth)[..., 0] * 1000.0)
+        ice0_vol = ice_avg[..., 0] / (B(p.depth)[..., 0] * 1000.0)
         max_moist0_vol = B(p.max_moist)[..., 0] / (B(p.depth)[..., 0] * 1000.0)
 
         snowing = snow_present  # reference SNOWING = snow->snow
@@ -360,6 +410,12 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             max_moist_l=B(p.max_moist),
             snow_coverage=coverage, surf_atten=surf_atten_of(lai, p),
             grnd_flux_type=int(gp.grnd_flux_type), frozen_soil=frozen)
+        if gp.dist_prcp:
+            # dry-lane column for the in-residual ET (canopy_evap.c dist loop)
+            eb_kwargs["dist_dry"] = dict(
+                moist_l=moist_d, ice_l=ice_d, wdew=wdew_d,
+                rainfall=jnp.zeros_like(rainfall))
+            eb_kwargs["mu_wet"] = mu
 
         ts, fb = solve_surface_temperature(eb_kwargs, state.node_temp[..., 0],
                                            tair, full_energy,
@@ -374,7 +430,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             from .physics.frozen_soil import (distribute_node_moisture,
                                               estimate_layer_ice,
                                               solve_t_profile_explicit)
-            nodep = distribute_node_moisture(moist0, state.node_temp, geom,
+            nodep = distribute_node_moisture(moist_avg, state.node_temp, geom,
                                              p, frozen=True)
             if gp.implicit:
                 from .physics.frozen_soil import solve_t_profile_implicit
@@ -408,7 +464,26 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             moist0, ice0, layer_evap, ppt,
             B(p.max_moist), B(p.resid_moist), B(p.depth), B(p.ksat),
             B(p.expt), B(p.b_infilt), B(p.ds), B(p.dsmax), B(p.ws),
-            B(p.c_expt), dt_hours, mu=(mu if gp.dist_prcp else None))
+            B(p.c_expt), dt_hours)
+
+        if gp.dist_prcp:
+            # DRY column: no precip; its own ET demand and drainage
+            # (runoff.c:222-241 dist loop with mu -> 1-mu)
+            layer_evap_d = jnp.where(no_soil_evap[..., None], 0.0,
+                                     eb.layer_evap_dry)
+            wdew_new_d = jnp.where(no_soil_evap, wdew_d, eb.wdew_new_dry)
+            ppt_d = jnp.where(jnp.logical_or(snowing, glacier), 0.0,
+                              eb.throughfall_dry)
+            ro_d = runoff_step(
+                moist_d, ice_d, layer_evap_d, ppt_d,
+                B(p.max_moist), B(p.resid_moist), B(p.depth), B(p.ksat),
+                B(p.expt), B(p.b_infilt), B(p.ds), B(p.dsmax), B(p.ws),
+                B(p.c_expt), dt_hours)
+        else:
+            layer_evap_d = layer_evap
+            wdew_new_d = wdew_new
+            ppt_d = ppt
+            ro_d = ro
 
         # ---- node temperatures + layer ice ---------------------------------
         if fd_nodes:
@@ -421,18 +496,27 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
 
         if frozen:
             from .physics.frozen_soil import estimate_layer_ice
-            _, ice_new = estimate_layer_ice(
-                node_temp, ro.moist, geom, p, frozen=True,
+            fs_kw = dict(
                 frost_subareas=(gp.frost_subareas if gp.spatial_frost else 1),
                 frost_slope=gp.frost_slope)
+            _, ice_new = estimate_layer_ice(node_temp, ro.moist, geom, p,
+                                            frozen=True, **fs_kw)
+            if gp.dist_prcp:
+                _, ice_new_d = estimate_layer_ice(node_temp, ro_d.moist,
+                                                  geom, p, frozen=True,
+                                                  **fs_kw)
+            else:
+                ice_new_d = ice_new
         else:
             ice_new = ice0
+            ice_new_d = ice_d if gp.dist_prcp else ice_new
 
         snow_sub_mm = vapor_flux * 1000.0  # m/step -> mm (loss positive)
         total_evap = evap_sfree + snow_sub_mm + canopy_sub_mm
 
         new_state = ModelState(
             moist=ro.moist, ice=ice_new, wdew=wdew_new,
+            moist_dry=ro_d.moist, ice_dry=ice_new_d, wdew_dry=wdew_new_d,
             snow_canopy=snow_canopy_new,
             swq=swq, surf_temp=surf_temp, pack_temp=pack_temp,
             surf_water=surf_water, pack_water=pack_water,
@@ -459,17 +543,26 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             lake_ice_height=state.lake_ice_height, lake_swe=state.lake_swe,
         )
 
-        # ---- cell aggregation (put_data.c:282-330: sum w*Cv*AreaFract) -----
+        # ---- cell aggregation (put_data.c:282-330: sum w*Cv*mu*AreaFract);
+        # mu-weighting of the wet/dry columns happens in dw()/dwl() ----------
         w = p.weight
         agg = lambda x: (x * w).sum(-1)
+        runoff_c = dw(ro.runoff, ro_d.runoff)
+        baseflow_c = dw(ro.baseflow, ro_d.baseflow)
+        ppt_c = dw(ppt, ppt_d)
+        wdew_c = dw(wdew_new, wdew_new_d)
         # note: swq already includes surf/pack liquid water (snow_melt.c:540)
-        storage0 = state.moist.sum(-1) + state.wdew + state.swq * 1000.0 \
+        # storage baseline uses the post-transfer lanes at the NEW mu: the
+        # storm transfers conserve mu-weighted mass (dist_prcp.py)
+        storage0 = dw(moist_w.sum(-1), moist_d.sum(-1)) + dw(wdew_w, wdew_d) \
+            + state.swq * 1000.0 \
             + state.snow_canopy * 1000.0 + state.glac_water_storage
-        storage1 = ro.moist.sum(-1) + wdew_new + swq * 1000.0 \
+        storage1 = dw(ro.moist.sum(-1), ro_d.moist.sum(-1)) + wdew_c \
+            + swq * 1000.0 \
             + snow_canopy_new * 1000.0 + glac_water_storage
         influx = out_prec + jnp.where(glacier, glac_melt_mm, 0.0)
         wb_err = (storage1 - storage0) - (
-            influx - total_evap - (ro.runoff + glac_outflow) - ro.baseflow)
+            influx - total_evap - (runoff_c + glac_outflow) - baseflow_c)
 
         # potential evaporation for the 6 reference surfaces
         # (surface_fluxes.c:659-694 -> compute_pot_evap.c)
@@ -486,8 +579,9 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
 
         # aggregated layer quantities
         aggl = lambda x: (x * w[..., None]).sum(-2)      # [..., n_layer]
-        moist_f = ro.moist
-        liq_f = moist_f - ice_new
+        moist_f = dwl(ro.moist, ro_d.moist)
+        ice_f = dwl(ice_new, ice_new_d)
+        liq_f = moist_f - ice_f
         rootmoist = agg((moist_f * (p.root > 0.0)).sum(-1))
         wcr_b, wpwp_b = B(p.wcr), B(p.wpwp)
         soil_wet = agg(jnp.clip(
@@ -502,24 +596,28 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             "OUT_SNOW_DEPTH": agg(depth * 100.0),
             "OUT_SNOW_COVER": agg(coverage),
             "OUT_SNOW_CANOPY": agg(snow_canopy_new * 1000.0),
-            "OUT_WDEW": agg(wdew_new),
+            "OUT_WDEW": agg(wdew_c),
             "OUT_SOIL_MOIST": aggl(moist_f),
             "OUT_SOIL_LIQ": aggl(liq_f),
-            "OUT_SOIL_ICE": aggl(ice_new),
+            "OUT_SOIL_ICE": aggl(ice_f),
             "OUT_SOIL_MOIST_TOT": agg(moist_f.sum(-1)),
             "OUT_ROOTMOIST": rootmoist,
             "OUT_SOIL_WET": soil_wet,
-            "OUT_ASAT": agg(ro.asat),
+            "OUT_ASAT": agg(dw(ro.asat, ro_d.asat)),
             # --- water fluxes (mm/step) ---
             "OUT_PREC": agg(out_prec),
             "OUT_RAINF": agg(rainfall),
             "OUT_SNOWF": agg(snowfall),
             "OUT_EVAP": agg(total_evap),
             "OUT_EVAP_BARE": agg(jnp.where(bare, evap_sfree, 0.0)),
-            "OUT_EVAP_CANOP": agg(jnp.where(snowing, 0.0, eb.canopy_evap_mm)),
+            "OUT_EVAP_CANOP": agg(jnp.where(
+                snowing, 0.0,
+                dw(eb.canopy_evap_mm,
+                   eb.canopy_evap_mm_dry if gp.dist_prcp
+                   else eb.canopy_evap_mm))),
             "OUT_TRANSP_VEG": agg(jnp.where(
                 jnp.logical_or(bare, snowing), 0.0,
-                layer_evap.sum(-1))),
+                dw(layer_evap.sum(-1), layer_evap_d.sum(-1)))),
             "OUT_SUB_SNOW": agg(snow_sub_mm),
             "OUT_SUB_CANOP": agg(canopy_sub_mm),
             "OUT_SUB_BLOWING": agg(
@@ -527,9 +625,9 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 * jnp.where(snow_present, 1.0, 0.0)),
             "OUT_TFOL_FBFLAG": agg(tfol_fb.astype(ts.dtype)),
             "OUT_VEGT": agg(tfoliage_new),
-            "OUT_RUNOFF": agg(ro.runoff + glac_outflow),
-            "OUT_BASEFLOW": agg(ro.baseflow),
-            "OUT_INFLOW": agg(ppt),
+            "OUT_RUNOFF": agg(runoff_c + glac_outflow),
+            "OUT_BASEFLOW": agg(baseflow_c),
+            "OUT_INFLOW": agg(ppt_c),
             "OUT_SNOW_MELT": agg(melt_out),
             "OUT_WATER_ERROR": agg(wb_err),
             "OUT_PET_SATSOIL": agg(pets["satsoil"]),

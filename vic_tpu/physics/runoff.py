@@ -54,7 +54,7 @@ def compute_runoff_and_asat(moist, max_moist_l, b_infilt, inflow):
 
 def runoff_step(moist, soil_ice, layer_evap, ppt,
                 max_moist_l, resid_fract, depth, ksat, expt,
-                b_infilt, ds, dsmax, ws, c_expt, dt_hours: int, mu=None):
+                b_infilt, ds, dsmax, ws, c_expt, dt_hours: int):
     """One model step of runoff/drainage/baseflow for every HRU lane.
 
     moist:      [..., n_layer] total moisture (liq+ice) entering the step, mm.
@@ -74,19 +74,10 @@ def runoff_step(moist, soil_ice, layer_evap, ppt,
     dsmax_hr = dsmax / 24.0
 
     # initial runoff estimate from starting moisture + full-step inflow.
-    # With DIST_PRCP (dist_prec.c:82), precip falls at intensity ppt/mu over
-    # the wet fraction mu; surface runoff is generated there and scaled back
-    # (first-order re-expression of the reference's dual-moisture wet lane).
-    if mu is not None:
-        mu_safe = jnp.clip(mu, 1e-3, 1.0)
-        _, runoff_wet = compute_runoff_and_asat(moist, max_moist_l, b_infilt,
-                                                ppt / mu_safe)
-        asat0, runoff_uni = compute_runoff_and_asat(moist, max_moist_l,
-                                                    b_infilt, ppt)
-        runoff0 = jnp.maximum(mu_safe * runoff_wet, runoff_uni)
-    else:
-        asat0, runoff0 = compute_runoff_and_asat(moist, max_moist_l, b_infilt,
-                                                 ppt)
+    # With DIST_PRCP the caller runs this kernel once per wet/dry column
+    # with the wet inflow already intensified by 1/mu (runoff.c:222-241).
+    asat0, runoff0 = compute_runoff_and_asat(moist, max_moist_l, b_infilt,
+                                             ppt)
     dt_runoff = runoff0 / dt_hours
     dt_inflow = ppt / dt_hours
 

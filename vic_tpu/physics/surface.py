@@ -44,12 +44,19 @@ class SurfEBResult(NamedTuple):
     net_long_bare: jnp.ndarray
     net_short_bare: jnp.ndarray
     evap: jnp.ndarray           # total ET (mm/step) on snow-free fraction
-    layer_evap: jnp.ndarray     # [..., n_layer] mm/step
+    layer_evap: jnp.ndarray     # [..., n_layer] mm/step (WET lane)
     canopy_evap_mm: jnp.ndarray
     throughfall: jnp.ndarray
     wdew_new: jnp.ndarray
     refreeze_energy: jnp.ndarray
     delta_cc: jnp.ndarray
+    # DRY-lane extras (DIST_PRCP; canopy_evap.c:124-146 dist loop). Zero /
+    # aliases of the wet lane when dist is disabled.
+    layer_evap_dry: jnp.ndarray = None
+    canopy_evap_mm_dry: jnp.ndarray = None
+    throughfall_dry: jnp.ndarray = None
+    wdew_new_dry: jnp.ndarray = None
+    evap_dry: jnp.ndarray = None
 
 
 def surf_energy_terms(
@@ -71,7 +78,8 @@ def surf_energy_terms(
         # snow coupling
         snow_coverage, surf_atten, include_snow=False, snow_terms=None,
         grnd_flux_type: int = 1, frozen_soil: bool = False,
-        compute_evap: bool = True) -> SurfEBResult:
+        compute_evap: bool = True, dist_dry: dict = None,
+        mu_wet=None) -> SurfEBResult:
     """Evaluate every term of the surface energy balance at candidate Ts."""
     tmean = ts
     tkelv = tmean + c.KELVIN
@@ -143,27 +151,46 @@ def surf_energy_terms(
                                         roughness),
         c.HUGE_RESIST)
 
-    # evapotranspiration inside the residual (func_surf_energy_bal.c:320-336)
-    if compute_evap:
+    # evapotranspiration inside the residual (func_surf_energy_bal.c:320-336).
+    # With DIST_PRCP the reference loops canopy_evap/arno_evap over the
+    # wet/dry columns and mu-weights the total into the latent-heat term
+    # (canopy_evap.c:124-206, arno_evap.c:92-99); here the two lanes are two
+    # batched evaluations combined with weights (mu, 1-mu).
+    def _lane_evap(moist_d, ice_d, wdew_d, rainfall_d):
         evap_veg, layer_evap_veg, cevap_veg, thrufall_veg, wdew_veg = \
-            canopy_evap(moist_l, ice_l, wcr, wpwp, root, depth_l,
-                        wdew, rainfall, wdmax, rmin, rgl, lai, rarc,
+            canopy_evap(moist_d, ice_d, wcr, wpwp, root, depth_l,
+                        wdew_d, rainfall_d, wdmax, rmin, rgl, lai, rarc,
                         net_bare_rad, shortwave_net_bare, vpd, tair, elevation,
                         ra_canopy, delta_t)
-        evap_bare = arno_evap(moist_l[..., 0], ice_l[..., 0],
+        evap_bare = arno_evap(moist_d[..., 0], ice_d[..., 0],
                               max_moist_l[..., 0], depth_l[..., 0],
                               resid_moist0, b_infilt, net_bare_rad, tair, vpd,
                               elevation, ra_used, delta_t)
         veg = jnp.logical_and(is_veg, lai > 0.0)
-        evap = jnp.where(veg, evap_veg, evap_bare)
-        layer_evap = jnp.where(
+        evap_d = jnp.where(veg, evap_veg, evap_bare)
+        layer_evap_d = jnp.where(
             veg[..., None],
             layer_evap_veg,
             jnp.concatenate([evap_bare[..., None],
                              jnp.zeros_like(layer_evap_veg[..., 1:])], -1))
-        canopy_evap_mm = jnp.where(veg, cevap_veg, 0.0)
-        throughfall = jnp.where(veg, thrufall_veg, rainfall)
-        wdew_new = jnp.where(veg, wdew_veg, wdew)
+        return (evap_d, layer_evap_d, jnp.where(veg, cevap_veg, 0.0),
+                jnp.where(veg, thrufall_veg, rainfall_d),
+                jnp.where(veg, wdew_veg, wdew_d))
+
+    dry = dict(layer_evap_dry=None, canopy_evap_mm_dry=None,
+               throughfall_dry=None, wdew_new_dry=None, evap_dry=None)
+    if compute_evap:
+        evap, layer_evap, canopy_evap_mm, throughfall, wdew_new = \
+            _lane_evap(moist_l, ice_l, wdew, rainfall)
+        if dist_dry is not None:
+            evap_d, le_d, ce_d, tf_d, wd_d = _lane_evap(
+                dist_dry["moist_l"], dist_dry["ice_l"], dist_dry["wdew"],
+                dist_dry["rainfall"])
+            dry = dict(layer_evap_dry=le_d, canopy_evap_mm_dry=ce_d,
+                       throughfall_dry=tf_d, wdew_new_dry=wd_d,
+                       evap_dry=evap_d)
+            # latent heat sees the cell-average ET (canopy_evap.c:206)
+            evap = mu_wet * evap + (1.0 - mu_wet) * evap_d
     else:
         evap = jnp.zeros_like(tmean)
         layer_evap = jnp.zeros_like(moist_l)
@@ -207,7 +234,8 @@ def surf_energy_terms(
         snow_flux=snow_flux, net_long_bare=net_long_bare,
         net_short_bare=shortwave_net_bare, evap=evap, layer_evap=layer_evap,
         canopy_evap_mm=canopy_evap_mm, throughfall=throughfall,
-        wdew_new=wdew_new, refreeze_energy=refreeze_energy, delta_cc=delta_cc)
+        wdew_new=wdew_new, refreeze_energy=refreeze_energy, delta_cc=delta_cc,
+        **dry)
 
 
 def solve_surface_temperature(kwargs, t0_old, tair, full_energy: bool,

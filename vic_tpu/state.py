@@ -32,11 +32,17 @@ def _pytreeify(cls):
 @dataclass
 class ModelState:
     """All prognostic variables. Shapes: [n_cell, max_hru] unless noted."""
-    # soil water (layer_data_struct)
-    moist: jnp.ndarray        # [c, h, n_layer] total layer moisture, mm
-    ice: jnp.ndarray          # [c, h, n_layer] frozen layer moisture, mm
+    # soil water (layer_data_struct). With DIST_PRCP the reference keeps TWO
+    # columns per HRU, cell[WET]/cell[DRY] (vicNl_def.h:1374-1388); here the
+    # base fields are the WET lane and *_dry the DRY lane (inert, equal to
+    # the wet lane, when DIST_PRCP is off and mu==1).
+    moist: jnp.ndarray        # [c, h, n_layer] total layer moisture, mm (WET)
+    ice: jnp.ndarray          # [c, h, n_layer] frozen layer moisture, mm (WET)
+    moist_dry: jnp.ndarray    # [c, h, n_layer] DRY-fraction layer moisture, mm
+    ice_dry: jnp.ndarray      # [c, h, n_layer] DRY-fraction frozen moisture, mm
     # canopy (veg_var_struct)
-    wdew: jnp.ndarray         # canopy interception storage, mm
+    wdew: jnp.ndarray         # canopy interception storage, mm (WET lane)
+    wdew_dry: jnp.ndarray     # DRY-fraction canopy storage, mm
     snow_canopy: jnp.ndarray  # canopy-intercepted snow, m
     # snowpack (snow_data_struct; internal units m of water)
     swq: jnp.ndarray
@@ -117,7 +123,8 @@ def initial_state(domain, gp, surf_temp_init=None, dtype=jnp.float32,
                     lake_swe=zc)
 
     return ModelState(
-        moist=moist, ice=Z(nl), wdew=Z(), snow_canopy=Z(),
+        moist=moist, ice=Z(nl), moist_dry=moist, ice_dry=Z(nl),
+        wdew=Z(), wdew_dry=Z(), snow_canopy=Z(),
         swq=Z(), surf_temp=Z(), pack_temp=Z(), surf_water=Z(), pack_water=Z(),
         density=Z(), depth=Z(), albedo=Z(),
         last_snow=jnp.zeros(sh, jnp.int32),
