@@ -116,6 +116,11 @@ MAX_BANDS = 30
 MAX_FRONTS = 3
 MAX_LAKE_NODES = 20
 MAXIT_FE = 25
+# CLOSE_ENERGY canopy-air iteration (surface_fluxes.c:8-15: MAX_ITER=250 when
+# CLOSE_ENERGY, 0 otherwise; OVER_TOL=0.001). The batched fixed point
+# converges in a handful of damped passes; 25 bounds the while_loop.
+CLOSE_ENERGY_MAXITER = 25
+OVER_TOL = 0.001
 
 # Default lapse rates (vicNl_def.h / read_snowband.c)
 T_LAPSE = 6.5              # C per 1000 m, used for snow-band temperature adjustment

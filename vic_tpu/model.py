@@ -109,7 +109,11 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             gc_rain = gc_snow = 1.0
         snowfall = gc_snow * (prec - rainonly) * B(p.padj_s)
         rainfall = gc_rain * rainonly * B(p.padj_r)
+        # cell-mean precip echo captured before the wet-fraction
+        # intensification and canopy processing (solve_snow.c:164-166)
         out_prec = snowfall + rainfall
+        out_rain = rainfall
+        out_snow = snowfall
         le = 2.501e6 - 2361.0 * tair
 
         snow_present = jnp.logical_or(
@@ -191,54 +195,31 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
         rainfall = rainfall + jnp.where(dump, wdew_w, 0.0)
         wdew0 = jnp.where(dump, 0.0, wdew_w)
 
-        # ---- overstory canopy snow interception (solve_snow.c:226 ->
-        # snow_intercept.c) — computed for all lanes, applied to overstory
-        # lanes in the snow path -------------------------------------------
+        # ================================================================
+        # The coupled interception / snow / glacier / surface-EB chain as a
+        # function of the canopy-air temperature. Without CLOSE_ENERGY the
+        # reference's overstory/understory convergence loops run exactly once
+        # at Tcanopy = Tair (surface_fluxes.c:8-15, MAX_ITER=0); with
+        # CLOSE_ENERGY the chain is iterated to convergence on Tcanopy
+        # (surface_fluxes.c:455-656 + calc_atmos_energy_bal.c).
+        # ================================================================
         from .physics.canopy_snow import snow_intercept
-        surf_att = surf_atten_of(lai, p)
-        short_under0 = sw_in * surf_att
-        short_over_in = (1.0 - surf_att) * sw_in
-        ci = snow_intercept(
-            snowfall_mm=snowfall, rainfall_mm=rainfall,
-            int_snow_m=state.snow_canopy, int_rain_m=wdew0 / 1000.0,
-            tfoliage_old=state.tfoliage, temp_int_storage=0.0 * wdew0,
-            lai=lai, wdmax_mm=wdmax,
-            air_dens=air_dens, vp_air=vp_air, vpd=vpd, pressure=pressure,
-            le=le, tcanopy=tair,
-            net_short_over=(1.0 - veg_albedo) * short_over_in,
-            long_over_in=lw_in,
-            long_under_out=c.STEFAN_B * (tair + c.KELVIN) ** 4,
-            ra_overstory=aero.resist.canopy, wind_over=aero.wind.canopy,
-            z_ref=aero.ref_height.canopy,
-            displacement=aero.displacement.canopy,
-            roughness=aero.roughness.canopy,
-            dt_sec=dt_sec, max_iter=gp.brent_maxiter)
-        ov_snow = jnp.logical_and(p.overstory, snow_present)
-        rainfall = jnp.where(ov_snow, ci.rain_throughfall * 1000.0, rainfall)
-        snowfall_ground = jnp.where(ov_snow, ci.snow_throughfall * 1000.0,
-                                    snowfall)
-        snow_canopy_new = jnp.where(ov_snow, ci.int_snow, state.snow_canopy)
-        wdew0 = jnp.where(ov_snow, ci.int_rain * 1000.0, wdew0)
-        tfoliage_new = jnp.where(ov_snow, ci.tfoliage, tair)
-        canopy_sub_mm = jnp.where(ov_snow, ci.vapor_flux * 1000.0, 0.0)
-        tfol_fb = jnp.where(ov_snow, ci.fbflag, False)
+        from .physics.glacier import glacier_ablation
 
-        # ---- snow albedo aging (solve_snow.c:418-439) ----------------------
+        surf_att = surf_atten_of(lai, p)
+        short_over_in = (1.0 - surf_att) * sw_in
+        glacier = p.is_glacier
+        tgrnd = state.node_temp[..., 0]
+        tgrnd_eff = jnp.where(glacier, c.GLAC_TEMP, tgrnd)
         fresh = snowfall > 0.0
         last_snow = jnp.where(fresh, 0, state.last_snow + 1)
-        albedo_aged = snow_albedo(
-            snowfall_ground, state.swq, state.depth, state.albedo, state.cold_content,
-            dt_hours, last_snow.astype(tair.dtype), state.melting,
-            B(p.new_snow_alb), B(p.snow_alb_accum_a), B(p.snow_alb_accum_b),
-            B(p.snow_alb_thaw_a), B(p.snow_alb_thaw_b),
-            sun1999=(int(gp.snow_albedo) == 1))
-        snow_alb = jnp.where(fresh, B(p.new_snow_alb), albedo_aged)
-        albedo_under = jnp.where(fresh, snow_alb,
-                                 state.coverage * snow_alb
-                                 + (1.0 - state.coverage) * bare_albedo)
-        net_short_snow = (1.0 - albedo_under) * sw_in
+        snowing = snow_present  # reference SNOWING = snow->snow
+        ov_snow = jnp.logical_and(p.overstory, snow_present)
+        wdew0_base = wdew0
+        rainfall_base = rainfall
 
         # ---- blowing-snow sublimation flux (BLOWING; CalcBlowingSnow.c) ----
+        # (depends on carried state only — outside the Tcanopy chain)
         if gp.blowing:
             from .physics.blowing_snow import calc_blowing_snow
             blow_flux, _blow_transport = calc_blowing_snow(
@@ -257,110 +238,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
         else:
             blow_flux = 0.0
 
-        # ---- snowpack accumulation/ablation (snow_melt.c) ------------------
-        tgrnd = state.node_temp[..., 0]
-        glacier = p.is_glacier
-        tgrnd_eff = jnp.where(glacier, c.GLAC_TEMP, tgrnd)
-        sm = snow_melt(
-            swq=state.swq, surf_temp=state.surf_temp,
-            pack_temp=state.pack_temp, surf_water=state.surf_water,
-            pack_water=state.pack_water, snow_depth=state.depth,
-            snow_density=state.density, coldcontent=state.cold_content,
-            rainfall_mm=rainfall, snowfall_mm=snowfall_ground,
-            air_temp=tair, tcanopy=tair, tgrnd=tgrnd_eff, wind=wind,
-            vp_air=vp_air, vpd=vpd, air_dens=air_dens, pressure=pressure,
-            longwave_in=lw_in, net_short=net_short_snow, lv=le,
-            ra=aero.resist.snow_covered,
-            displacement=aero.displacement.snow_covered,
-            z_ref=aero.ref_height.snow_covered,
-            roughness=aero.roughness.snow_covered,
-            dt_sec=dt_sec, max_iter=gp.brent_maxiter,
-            tfallback=gp.tfallback, blowing_flux=blow_flux)
-
-        # merge: lanes with snow take the snow result, others keep zero pack
-        S = lambda new, old: jnp.where(snow_present, new, old)
-        swq = S(sm.swq, state.swq)
-        surf_temp = S(sm.surf_temp, 0.0 * state.surf_temp)
-        pack_temp = S(sm.pack_temp, 0.0 * state.pack_temp)
-        surf_water = S(sm.surf_water, 0.0 * state.surf_water)
-        pack_water = S(sm.pack_water, 0.0 * state.pack_water)
-        melt_out = jnp.where(snow_present, sm.melt, 0.0)
-        cold_content = S(sm.cold_content, 0.0 * state.cold_content)
-        vapor_flux = jnp.where(snow_present, sm.vapor_flux, 0.0)
-
-        # ---- glacier lane: bare-ice ablation once snow is gone -------------
-        # (surface_fluxes_glac.c:311: solve_glacier on snow-free glacier ice)
-        from .physics.glacier import glacier_ablation
-        glac = glacier_ablation(
-            tair=tair, net_short=(1.0 - B(p.glac_albedo)) * sw_in,
-            longwave_in=lw_in, wind=wind, vp_air=vp_air, vpd=vpd,
-            air_dens=air_dens, pressure=pressure, le=le,
-            rain_mm=jnp.where(jnp.logical_and(glacier, ~snow_present),
-                              rainfall, 0.0),
-            ra=aero.resist.glacier, z_ref=aero.ref_height.glacier,
-            roughness=aero.roughness.glacier,
-            old_tsurf=state.glac_surf_temp,
-            glac_surf_we=B(p.glac_surf_we), dt_sec=dt_sec,
-            max_iter=gp.brent_maxiter)
-        on_ice = jnp.logical_and(glacier, ~snow_present)
-        glac_melt_mm = jnp.where(on_ice, glac.melt_mm, 0.0)
-        glac_surf_temp = jnp.where(on_ice, glac.surf_temp,
-                                   jnp.where(glacier, 0.0,
-                                             state.glac_surf_temp))
-
-        # glacier water reservoir: inflow = ALL water reaching the glacier
-        # surface (snowpack outflow, bare-ice melt, rain on bare ice);
-        # outflow = K*storage with K = KMIN + DK*exp(-A*swe), added directly
-        # to HRU surface runoff (surface_fluxes_glac.c:580-608)
-        glac_inflow = jnp.where(
-            glacier,
-            melt_out + glac_melt_mm + jnp.where(on_ice, rainfall, 0.0), 0.0)
-        storage = state.glac_water_storage + glac_inflow
-        kfac = B(p.glac_kmin) + B(p.glac_dk) * jnp.exp(
-            -B(p.glac_a) * swq * 1000.0)
-        glac_outflow = jnp.where(glacier, kfac * storage, 0.0)
-        glac_water_storage = jnp.where(glacier, storage - glac_outflow,
-                                       state.glac_water_storage)
-
-        # ---- snowpack density/depth (solve_snow.c:478-496) -----------------
-        density_new = snow_density_update(
-            state.swq, state.depth, state.density, surf_temp, snowfall_ground, tair,
-            dt_hours, liquid_water=surf_water + pack_water,
-            snthrm=(int(gp.snow_density) == 1))
-        density = jnp.where(
-            swq > 0.0,
-            jnp.where(state.swq > 0.0, density_new, new_snow_density(
-                tair, snthrm=(int(gp.snow_density) == 1))),
-            0.0)
-        depth = jnp.where(density > 0.0, 1000.0 * swq / jnp.maximum(
-            density, 1.0), 0.0)
-        if gp.spatial_snow:
-            # SPATIAL_SNOW partial coverage (calc_snow_coverage.c,
-            # soil depth_full_snow_cover): linear depletion below the
-            # full-cover depth; fresh snowfall restores full cover
-            dfsc = jnp.maximum(B(p.depth_full_snow_cover), 1e-4)
-            coverage = jnp.where(
-                swq > 0.0,
-                jnp.where(fresh, 1.0, jnp.clip(depth / dfsc, 0.0, 1.0)),
-                0.0)
-        else:
-            coverage = jnp.where(swq > 0.0, 1.0, 0.0)
-
-        # MELTING flag (solve_snow.c:500-510, lat-aware melt season window)
-        north = B(p.lat) >= 0
-        in_season = jnp.where(north,
-                              jnp.logical_and(doy > 60, doy < 273),
-                              jnp.logical_or(doy < 60, doy > 273))
-        melting = jnp.where(
-            swq > 0.0,
-            jnp.where(jnp.logical_and(cold_content >= 0.0, in_season),
-                      True,
-                      jnp.where(jnp.logical_and(state.melting,
-                                                snowfall_ground > c.TRACESNOW),
-                                False, state.melting)),
-            False)
-
-        # ---- surface energy balance on snow-free ground --------------------
+        # ---- soil thermal properties (Tcanopy-independent) -----------------
         moist0 = moist_w          # wet-lane moisture drives evap/runoff
         ice0 = ice_w
         # thermal properties use the mu-averaged column
@@ -378,11 +256,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
         ice0_vol = ice_avg[..., 0] / (B(p.depth)[..., 0] * 1000.0)
         max_moist0_vol = B(p.max_moist)[..., 0] / (B(p.depth)[..., 0] * 1000.0)
 
-        snowing = snow_present  # reference SNOWING = snow->snow
-        net_short_bare = (1.0 - bare_albedo) * sw_in * (1.0 - coverage)
-        long_bare_in = (1.0 - coverage) * lw_in
-
-        eb_kwargs = dict(
+        eb_common = dict(
             ts_old=state.node_temp[..., 0], t1_old=state.node_temp[..., 1],
             t2=state.node_temp[..., -1], d1=d1, d2=d2,
             kappa1=kappa[..., 0], kappa2=kappa[..., 1],
@@ -390,37 +264,277 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             moist0_vol=moist0_vol, max_moist0_vol=max_moist0_vol,
             ice0_vol=ice0_vol, bubble0=B(p.bubble)[..., 0],
             expt0=B(p.expt)[..., 0], fs_active=B(p.fs_active),
-            tair=tair, vpd=vpd, vp_air=vp_air,
-            shortwave_net_bare=net_short_bare, long_bare_in=long_bare_in,
+            vpd=vpd, vp_air=vp_air,
             atmos_density=air_dens, atmos_pressure=pressure,
             elevation=B(p.elevation), latent_heat_le=le,
             ra_under=aero.resist.snow_free, z_ref=aero.ref_height.snow_free,
             displacement=aero.displacement.snow_free,
             roughness=aero.roughness.snow_free, wind=aero.wind.snow_free,
-            overstory_snowing=jnp.logical_and(p.overstory, snowing),
-            is_veg=jnp.logical_and(~bare, lai > 0.0), lai=lai, wdew=wdew0,
+            is_veg=jnp.logical_and(~bare, lai > 0.0), lai=lai,
             wdmax=wdmax, rmin=p.rmin, rgl=p.rgl, rarc=p.rarc, root=p.root,
             ra_canopy=aero.resist.canopy,
             displacement_canopy=aero.displacement.canopy,
             roughness_canopy=aero.roughness.canopy,
             ref_height_canopy=aero.ref_height.canopy,
-            rainfall=rainfall, moist_l=moist0, ice_l=ice0,
+            moist_l=moist0, ice_l=ice0,
             wcr=B(p.wcr), wpwp=B(p.wpwp), depth_l=B(p.depth),
             resid_moist0=B(p.resid_moist)[..., 0], b_infilt=B(p.b_infilt),
-            max_moist_l=B(p.max_moist),
-            snow_coverage=coverage, surf_atten=surf_atten_of(lai, p),
+            max_moist_l=B(p.max_moist), surf_atten=surf_atten_of(lai, p),
             grnd_flux_type=int(gp.grnd_flux_type), frozen_soil=frozen)
-        if gp.dist_prcp:
-            # dry-lane column for the in-residual ET (canopy_evap.c dist loop)
-            eb_kwargs["dist_dry"] = dict(
-                moist_l=moist_d, ice_l=ice_d, wdew=wdew_d,
-                rainfall=jnp.zeros_like(rainfall))
-            eb_kwargs["mu_wet"] = mu
 
-        ts, fb = solve_surface_temperature(eb_kwargs, state.node_temp[..., 0],
-                                           tair, full_energy,
-                                           max_iter=gp.brent_maxiter)
-        eb = surf_energy_terms(ts, compute_evap=True, **eb_kwargs)
+        def column(tca):
+            """One pass of the overstory->understory chain at canopy-air
+            temperature `tca` (== Tair on non-iterated lanes)."""
+            # ---- overstory canopy snow interception (solve_snow.c:226 ->
+            # snow_intercept.c) — computed for all lanes, applied to
+            # overstory lanes in the snow path ------------------------------
+            ci = snow_intercept(
+                snowfall_mm=snowfall, rainfall_mm=rainfall_base,
+                int_snow_m=state.snow_canopy, int_rain_m=wdew0_base / 1000.0,
+                tfoliage_old=state.tfoliage,
+                temp_int_storage=0.0 * wdew0_base,
+                lai=lai, wdmax_mm=wdmax,
+                air_dens=air_dens, vp_air=vp_air, vpd=vpd, pressure=pressure,
+                le=le, tcanopy=tca,
+                net_short_over=(1.0 - veg_albedo) * short_over_in,
+                long_over_in=lw_in,
+                long_under_out=c.STEFAN_B * (tair + c.KELVIN) ** 4,
+                ra_overstory=aero.resist.canopy, wind_over=aero.wind.canopy,
+                z_ref=aero.ref_height.canopy,
+                displacement=aero.displacement.canopy,
+                roughness=aero.roughness.canopy,
+                dt_sec=dt_sec, max_iter=gp.brent_maxiter)
+            rainfall = jnp.where(ov_snow, ci.rain_throughfall * 1000.0,
+                                 rainfall_base)
+            snowfall_ground = jnp.where(ov_snow, ci.snow_throughfall * 1000.0,
+                                        snowfall)
+            snow_canopy_new = jnp.where(ov_snow, ci.int_snow,
+                                        state.snow_canopy)
+            wdew0 = jnp.where(ov_snow, ci.int_rain * 1000.0, wdew0_base)
+            tfoliage_new = jnp.where(ov_snow, ci.tfoliage, tca)
+            canopy_sub_mm = jnp.where(ov_snow, ci.vapor_flux * 1000.0, 0.0)
+            tfol_fb = jnp.where(ov_snow, ci.fbflag, False)
+
+            # ---- snow albedo aging (solve_snow.c:418-439) ------------------
+            albedo_aged = snow_albedo(
+                snowfall_ground, state.swq, state.depth, state.albedo,
+                state.cold_content,
+                dt_hours, last_snow.astype(tair.dtype), state.melting,
+                B(p.new_snow_alb), B(p.snow_alb_accum_a),
+                B(p.snow_alb_accum_b),
+                B(p.snow_alb_thaw_a), B(p.snow_alb_thaw_b),
+                sun1999=(int(gp.snow_albedo) == 1))
+            snow_alb = jnp.where(fresh, B(p.new_snow_alb), albedo_aged)
+            albedo_under = jnp.where(fresh, snow_alb,
+                                     state.coverage * snow_alb
+                                     + (1.0 - state.coverage) * bare_albedo)
+            net_short_snow = (1.0 - albedo_under) * sw_in
+
+            # ---- snowpack accumulation/ablation (snow_melt.c) --------------
+            sm = snow_melt(
+                swq=state.swq, surf_temp=state.surf_temp,
+                pack_temp=state.pack_temp, surf_water=state.surf_water,
+                pack_water=state.pack_water, snow_depth=state.depth,
+                snow_density=state.density, coldcontent=state.cold_content,
+                rainfall_mm=rainfall, snowfall_mm=snowfall_ground,
+                air_temp=tair, tcanopy=tca, tgrnd=tgrnd_eff, wind=wind,
+                vp_air=vp_air, vpd=vpd, air_dens=air_dens, pressure=pressure,
+                longwave_in=lw_in, net_short=net_short_snow, lv=le,
+                ra=aero.resist.snow_covered,
+                displacement=aero.displacement.snow_covered,
+                z_ref=aero.ref_height.snow_covered,
+                roughness=aero.roughness.snow_covered,
+                dt_sec=dt_sec, max_iter=gp.brent_maxiter,
+                tfallback=gp.tfallback, blowing_flux=blow_flux)
+
+            # merge: lanes with snow take the snow result, others keep zeros
+            S = lambda new, old: jnp.where(snow_present, new, old)
+            swq = S(sm.swq, state.swq)
+            surf_temp = S(sm.surf_temp, 0.0 * state.surf_temp)
+            pack_temp = S(sm.pack_temp, 0.0 * state.pack_temp)
+            surf_water = S(sm.surf_water, 0.0 * state.surf_water)
+            pack_water = S(sm.pack_water, 0.0 * state.pack_water)
+            melt_out = jnp.where(snow_present, sm.melt, 0.0)
+            cold_content = S(sm.cold_content, 0.0 * state.cold_content)
+            vapor_flux = jnp.where(snow_present, sm.vapor_flux, 0.0)
+
+            # ---- glacier lane: bare-ice ablation once snow is gone ---------
+            # (surface_fluxes_glac.c:311 solve_glacier on snow-free ice)
+            glac = glacier_ablation(
+                tair=tair, net_short=(1.0 - B(p.glac_albedo)) * sw_in,
+                longwave_in=lw_in, wind=wind, vp_air=vp_air, vpd=vpd,
+                air_dens=air_dens, pressure=pressure, le=le,
+                rain_mm=jnp.where(jnp.logical_and(glacier, ~snow_present),
+                                  rainfall, 0.0),
+                ra=aero.resist.glacier, z_ref=aero.ref_height.glacier,
+                roughness=aero.roughness.glacier,
+                old_tsurf=state.glac_surf_temp,
+                glac_surf_we=B(p.glac_surf_we), dt_sec=dt_sec,
+                max_iter=gp.brent_maxiter)
+            on_ice = jnp.logical_and(glacier, ~snow_present)
+            glac_melt_mm = jnp.where(on_ice, glac.melt_mm, 0.0)
+            glac_surf_temp = jnp.where(on_ice, glac.surf_temp,
+                                       jnp.where(glacier, 0.0,
+                                                 state.glac_surf_temp))
+
+            # glacier water reservoir: inflow = ALL water reaching the
+            # glacier surface (pack outflow, bare-ice melt, rain on bare
+            # ice); outflow = K*storage with K = KMIN + DK*exp(-A*swe)
+            # (surface_fluxes_glac.c:580-608)
+            glac_inflow = jnp.where(
+                glacier,
+                melt_out + glac_melt_mm + jnp.where(on_ice, rainfall, 0.0),
+                0.0)
+            storage = state.glac_water_storage + glac_inflow
+            kfac = B(p.glac_kmin) + B(p.glac_dk) * jnp.exp(
+                -B(p.glac_a) * swq * 1000.0)
+            glac_outflow = jnp.where(glacier, kfac * storage, 0.0)
+            glac_water_storage = jnp.where(glacier, storage - glac_outflow,
+                                           state.glac_water_storage)
+
+            # ---- snowpack density/depth (solve_snow.c:478-496) -------------
+            density_new = snow_density_update(
+                state.swq, state.depth, state.density, surf_temp,
+                snowfall_ground, tair,
+                dt_hours, liquid_water=surf_water + pack_water,
+                snthrm=(int(gp.snow_density) == 1))
+            density = jnp.where(
+                swq > 0.0,
+                jnp.where(state.swq > 0.0, density_new, new_snow_density(
+                    tair, snthrm=(int(gp.snow_density) == 1))),
+                0.0)
+            depth = jnp.where(density > 0.0, 1000.0 * swq / jnp.maximum(
+                density, 1.0), 0.0)
+            if gp.spatial_snow:
+                # SPATIAL_SNOW partial coverage (calc_snow_coverage.c,
+                # soil depth_full_snow_cover): linear depletion below the
+                # full-cover depth; fresh snowfall restores full cover
+                dfsc = jnp.maximum(B(p.depth_full_snow_cover), 1e-4)
+                coverage = jnp.where(
+                    swq > 0.0,
+                    jnp.where(fresh, 1.0, jnp.clip(depth / dfsc, 0.0, 1.0)),
+                    0.0)
+            else:
+                coverage = jnp.where(swq > 0.0, 1.0, 0.0)
+
+            # MELTING flag (solve_snow.c:500-510, lat-aware season window)
+            north = B(p.lat) >= 0
+            in_season = jnp.where(north,
+                                  jnp.logical_and(doy > 60, doy < 273),
+                                  jnp.logical_or(doy < 60, doy > 273))
+            melting = jnp.where(
+                swq > 0.0,
+                jnp.where(jnp.logical_and(cold_content >= 0.0, in_season),
+                          True,
+                          jnp.where(jnp.logical_and(
+                              state.melting,
+                              snowfall_ground > c.TRACESNOW),
+                              False, state.melting)),
+                False)
+
+            # ---- surface energy balance on snow-free ground ----------------
+            net_short_bare = (1.0 - bare_albedo) * sw_in * (1.0 - coverage)
+            long_bare_in = (1.0 - coverage) * lw_in
+
+            eb_kwargs = dict(
+                eb_common, tair=tca,
+                shortwave_net_bare=net_short_bare, long_bare_in=long_bare_in,
+                overstory_snowing=jnp.logical_and(p.overstory, snowing),
+                wdew=wdew0, rainfall=rainfall, snow_coverage=coverage)
+            if gp.dist_prcp:
+                # dry-lane column for the in-residual ET (canopy_evap.c
+                # dist loop)
+                eb_kwargs["dist_dry"] = dict(
+                    moist_l=moist_d, ice_l=ice_d, wdew=wdew_d,
+                    rainfall=jnp.zeros_like(rainfall))
+                eb_kwargs["mu_wet"] = mu
+
+            ts, fb = solve_surface_temperature(
+                eb_kwargs, state.node_temp[..., 0], tca, full_energy,
+                max_iter=gp.brent_maxiter)
+            eb = surf_energy_terms(ts, compute_evap=True, **eb_kwargs)
+
+            return dict(
+                ci=ci, rainfall=rainfall, snowfall_ground=snowfall_ground,
+                snow_canopy_new=snow_canopy_new, wdew0=wdew0,
+                tfoliage_new=tfoliage_new, canopy_sub_mm=canopy_sub_mm,
+                tfol_fb=tfol_fb, snow_alb=snow_alb,
+                albedo_under=albedo_under, net_short_snow=net_short_snow,
+                sm=sm, swq=swq, surf_temp=surf_temp, pack_temp=pack_temp,
+                surf_water=surf_water, pack_water=pack_water,
+                melt_out=melt_out, cold_content=cold_content,
+                vapor_flux=vapor_flux, glac=glac, on_ice=on_ice,
+                glac_melt_mm=glac_melt_mm, glac_surf_temp=glac_surf_temp,
+                glac_inflow=glac_inflow, kfac=kfac,
+                glac_outflow=glac_outflow,
+                glac_water_storage=glac_water_storage,
+                density=density, depth=depth, coverage=coverage,
+                melting=melting, net_short_bare=net_short_bare,
+                long_bare_in=long_bare_in, ts=ts, fb=fb, eb=eb)
+
+        # ---- CLOSE_ENERGY: canopy-air temperature fixed point --------------
+        # (surface_fluxes.c:455-656 overstory loop + calc_atmos_energy_bal;
+        # only overstory lanes carrying snow iterate — other lanes keep
+        # Tcanopy = Tair, surface_fluxes.c:595,609-615). The understory
+        # snow-flux reconciliation loop has no analog here: the pack EB is
+        # driven by the actual node-0 ground temperature directly.
+        tcanopy_fb = jnp.zeros_like(p.overstory)
+        atmos_error = jnp.zeros_like(tair)
+        if gp.close_energy and full_energy:
+            from .physics.canopy_air import calc_atmos_energy_bal
+
+            def tc_update(r, tca):
+                under_sens = (r["eb"].sensible_heat
+                              + r["sm"].terms.sensible * r["coverage"])
+                in_sens = r["ci"].sensible + under_sens
+                ca = calc_atmos_energy_bal(in_sens, tair, air_dens,
+                                           aero.resist.canopy)
+                iter_mask = jnp.logical_and(ov_snow, p.mask)
+                return (jnp.where(iter_mask, ca.tcanopy, tair),
+                        jnp.where(iter_mask, ca.fbflag, False),
+                        jnp.where(iter_mask, ca.error, 0.0))
+
+            def cond(carry):
+                tc, last, it = carry
+                live = jnp.where(p.mask, jnp.abs(tc - last), 0.0)
+                return jnp.logical_and(it < c.CLOSE_ENERGY_MAXITER,
+                                       jnp.max(live) > c.OVER_TOL)
+
+            def body(carry):
+                tc, _, it = carry
+                # reference damping: Tcanopy = (last + new)/2 each pass
+                # (surface_fluxes.c:481-483)
+                tc_new, _, _ = tc_update(column(tc), tc)
+                return (0.5 * (tc + tc_new), tc, it + 1)
+
+            init = (tair, tair + 2.0 * c.OVER_TOL + 1.0,
+                    jnp.asarray(0, jnp.int32))
+            tcanopy, _, _ = jax.lax.while_loop(cond, body, init)
+            r = column(tcanopy)
+            tcanopy, tcanopy_fb, atmos_error = tc_update(r, tcanopy)
+        else:
+            tcanopy = tair
+            r = column(tair)
+
+        ci = r["ci"]; rainfall = r["rainfall"]
+        snowfall_ground = r["snowfall_ground"]
+        snow_canopy_new = r["snow_canopy_new"]; wdew0 = r["wdew0"]
+        tfoliage_new = r["tfoliage_new"]; canopy_sub_mm = r["canopy_sub_mm"]
+        tfol_fb = r["tfol_fb"]; snow_alb = r["snow_alb"]
+        albedo_under = r["albedo_under"]; net_short_snow = r["net_short_snow"]
+        sm = r["sm"]; swq = r["swq"]; surf_temp = r["surf_temp"]
+        pack_temp = r["pack_temp"]; surf_water = r["surf_water"]
+        pack_water = r["pack_water"]; melt_out = r["melt_out"]
+        cold_content = r["cold_content"]; vapor_flux = r["vapor_flux"]
+        glac = r["glac"]; on_ice = r["on_ice"]
+        glac_melt_mm = r["glac_melt_mm"]; glac_surf_temp = r["glac_surf_temp"]
+        glac_inflow = r["glac_inflow"]; kfac = r["kfac"]
+        glac_outflow = r["glac_outflow"]
+        glac_water_storage = r["glac_water_storage"]
+        density = r["density"]; depth = r["depth"]; coverage = r["coverage"]
+        melting = r["melting"]; net_short_bare = r["net_short_bare"]
+        long_bare_in = r["long_bare_in"]; ts = r["ts"]; fb = r["fb"]
+        eb = r["eb"]
 
         # ---- finite-difference node profile (FROZEN_SOIL, QUICK_FLUX=F) ----
         # (func_surf_energy_bal.c:185-228 solve_T_profile; here solved once at
@@ -606,8 +720,8 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             "OUT_ASAT": agg(dw(ro.asat, ro_d.asat)),
             # --- water fluxes (mm/step) ---
             "OUT_PREC": agg(out_prec),
-            "OUT_RAINF": agg(rainfall),
-            "OUT_SNOWF": agg(snowfall),
+            "OUT_RAINF": agg(out_rain),
+            "OUT_SNOWF": agg(out_snow),
             "OUT_EVAP": agg(total_evap),
             "OUT_EVAP_BARE": agg(jnp.where(bare, evap_sfree, 0.0)),
             "OUT_EVAP_CANOP": agg(jnp.where(
@@ -624,6 +738,8 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 (-blow_flux * dt_sec if gp.blowing else 0.0 * tair)
                 * jnp.where(snow_present, 1.0, 0.0)),
             "OUT_TFOL_FBFLAG": agg(tfol_fb.astype(ts.dtype)),
+            "OUT_TCAN_FBFLAG": agg(tcanopy_fb.astype(ts.dtype)),
+            "OUT_TCANOPY": agg(tcanopy),
             "OUT_VEGT": agg(tfoliage_new),
             "OUT_RUNOFF": agg(runoff_c + glac_outflow),
             "OUT_BASEFLOW": agg(baseflow_c),

@@ -304,6 +304,14 @@ OUTVAR_META: Dict[str, OutVarMeta] = {
     "OUT_VEGT": _M("degree_Celsius", "VEGT", "canopy_temperature",
                    "Average vegetation canopy temperature",
                    "time: point area: mean"),
+    # CLOSE_ENERGY canopy-air balance (calc_atmos_energy_bal.c;
+    # vicNl_def.h:451 OUT_TCAN_FBFLAG)
+    "OUT_TCANOPY": _M("degree_Celsius", "TCANOPY", "",
+                      "Canopy air temperature",
+                      "time: point area: mean"),
+    "OUT_TCAN_FBFLAG": _M("", "TCAN_FBFLAG", "",
+                          "Tcanopy fallback count",
+                          "time: point area: mean", AGG_SUM),
     # water table (compute_zwt.c; names per variable_mapping.c)
     "OUT_ZWT": _M("cm", "ZWT", "", "Water table position (method 1)",
                   "time: point area: mean", AGG_END),
