@@ -35,3 +35,30 @@ def test_lake_coupled_run():
     # lake surface temp follows a sane range
     t = np.asarray(outs["OUT_LAKE_SURF_TEMP"])
     assert t.min() > -1.0 and t.max() < 40.0
+
+
+def test_wetland_recharge():
+    """Lake growth saturates the flooded wetland fringe from lake water
+    (water_balance, lakes.eb.c:2016-2096): recharge > 0 in wet spells,
+    wetland soil gains it, and the land-column closure stays tight."""
+    gp = GlobalParams(dt=24, startyear=1995, nrecs=50, full_energy=True,
+                      lakes=True)
+    dom = synthetic_domain(n_cell=3)
+    params = prepare_domain(dom, gp)
+    lp = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32)
+        if np.asarray(a).dtype.kind == "f" else jnp.asarray(a),
+        make_lake_params(dom.soil, gp))
+    ax = make_time_axis(1995, 5, 1, 0, 50, 24)
+    forc = synthetic_forcing(50, 3, start_doy=121, seed=9)
+    forc["prec"] = forc["prec"] * 6.0 + 8.0   # very wet: lake must grow
+    forc["air_temp"] += 8.0
+    stack = make_forcing_stack(forc, ax)
+    st = initial_state(dom, gp, lake_params=lp)
+    fs, outs = jax.jit(lambda s, f: run(s, f, params, gp,
+                                        lake_params=lp))(st, stack)
+    rch = np.asarray(outs["OUT_LAKE_RCHRG"])
+    assert np.isfinite(rch).all()
+    assert rch.max() > 0.0, "no recharge despite growing lake"
+    # water balance error still bounded with the recharge influx credit
+    assert float(np.abs(np.asarray(outs["OUT_WATER_ERROR"])).max()) < 0.01

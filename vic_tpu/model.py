@@ -628,9 +628,98 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
         snow_sub_mm = vapor_flux * 1000.0  # m/step -> mm (loss positive)
         total_evap = evap_sfree + snow_sub_mm + canopy_sub_mm
 
+        # ---- lake/wetland coupling (full_energy.c:714-800 + lakes.eb.c) ----
+        # Runs BEFORE state assembly so the wetland recharge enters the soil
+        # state and the closure accounting.
+        w = p.weight
+        agg = lambda x: (x * w).sum(-1)
+        runoff_c = dw(ro.runoff, ro_d.runoff)
+        baseflow_c = dw(ro.baseflow, ro_d.baseflow)
+        moist_wet_f = ro.moist
+        moist_dry_f = ro_d.moist
+        recharge_lane_mm = jnp.zeros_like(runoff_c)
+        cell_runoff = agg(runoff_c + glac_outflow)
+        cell_baseflow = agg(baseflow_c)
+        lake_out = {}
+        if gp.lakes and lake_params is not None:
+            from .physics.lake import LakeState, lake_step
+            lp_l = lake_params
+            cell_area = p.cell_area
+            rperc = jnp.asarray(lp_l.rpercent, cell_runoff.dtype)
+            r_in = rperc * cell_runoff / 1000.0 * cell_area
+            b_in = rperc * cell_baseflow / 1000.0 * cell_area
+            # wetland host tile = first valid non-glacier band-0 lane (the
+            # reference attaches the lake to the lake_idx veg tile,
+            # read_lakeparam.c:70-90; here the leading tile stands in)
+            cand = jnp.logical_and(
+                p.mask, jnp.logical_and(p.band == 0, ~p.is_glacier))
+            wl_idx = jnp.argmax(cand, axis=1)
+            nh = p.mask.shape[1]
+            wl_mask = jnp.logical_and(
+                jnp.arange(nh)[None, :] == wl_idx[:, None],
+                cand.any(1)[:, None])
+            take_wl = lambda x: jnp.take_along_axis(
+                x, wl_idx[:, None, None], 1)[:, 0]
+            lstate = LakeState(
+                volume=state.lake_volume, temp=state.lake_temp,
+                ice_water_eq=state.lake_ice_we,
+                ice_area=state.lake_ice_area,
+                ice_height=state.lake_ice_height, swe=state.lake_swe)
+            lres = lake_step(
+                lp_l, lstate,
+                tair=forcing["air_temp"], wind=forcing["wind"],
+                sw_in=forcing["shortwave"], lw_in=forcing["longwave"],
+                vp_air=forcing["vp"], pressure=forcing["pressure"],
+                prec_mm=forcing["prec"],
+                snowfall_mm=jnp.where(forcing["air_temp"] < 0.0,
+                                      forcing["prec"], 0.0),
+                runoff_in_m3=r_in, baseflow_in_m3=b_in,
+                lat=p.lat, elevation=p.elevation, ds=p.ds, dsmax=p.dsmax,
+                ws_arno=p.ws, c_arno=p.c_expt, dt_sec=dt_sec,
+                wetland_moist=take_wl(dwl(moist_wet_f, moist_dry_f)),
+                wetland_max_moist=jnp.asarray(p.max_moist,
+                                              cell_runoff.dtype))
+            # wetland recharge: saturate the flooded fringe's soil from lake
+            # water (lakes.eb.c:2046-2096); applied to both moisture columns
+            dmo = lres.wetland_dmoist_mm
+            add = wl_mask[..., None] * dmo[:, None, :]
+            moist_wet_f = moist_wet_f + add
+            moist_dry_f = moist_dry_f + add
+            recharge_lane_mm = wl_mask * dmo.sum(-1)[:, None]
+            to_mm = 1000.0 / cell_area
+            cell_runoff = ((1.0 - rperc) * cell_runoff
+                           + lres.runoff_out_m3 * to_mm)
+            cell_baseflow = ((1.0 - rperc) * cell_baseflow
+                             + lres.baseflow_out_m3 * to_mm)
+            lake_evap_mm = lres.evap_m3 * to_mm
+            lake_out = {
+                "OUT_LAKE_DEPTH": lres.depth,
+                "OUT_LAKE_VOLUME": lres.state.volume,
+                "OUT_LAKE_SURF_AREA": lres.sarea,
+                "OUT_LAKE_ICE_FRACT": lres.ice_fract,
+                "OUT_LAKE_ICE_HEIGHT": lres.state.ice_height * 100.0,
+                "OUT_LAKE_SURF_TEMP": lres.surf_temp,
+                "OUT_LAKE_EVAP": lake_evap_mm,
+                "OUT_LAKE_RCHRG": lres.recharge_m3 * to_mm,
+            }
+            lake_state = dict(
+                lake_volume=lres.state.volume, lake_temp=lres.state.temp,
+                lake_ice_we=lres.state.ice_water_eq,
+                lake_ice_area=lres.state.ice_area,
+                lake_ice_height=lres.state.ice_height,
+                lake_swe=lres.state.swe)
+        else:
+            lake_evap_mm = jnp.zeros_like(cell_runoff)
+            lake_state = dict(
+                lake_volume=state.lake_volume, lake_temp=state.lake_temp,
+                lake_ice_we=state.lake_ice_we,
+                lake_ice_area=state.lake_ice_area,
+                lake_ice_height=state.lake_ice_height,
+                lake_swe=state.lake_swe)
+
         new_state = ModelState(
-            moist=ro.moist, ice=ice_new, wdew=wdew_new,
-            moist_dry=ro_d.moist, ice_dry=ice_new_d, wdew_dry=wdew_new_d,
+            moist=moist_wet_f, ice=ice_new, wdew=wdew_new,
+            moist_dry=moist_dry_f, ice_dry=ice_new_d, wdew_dry=wdew_new_d,
             snow_canopy=snow_canopy_new,
             swq=swq, surf_temp=surf_temp, pack_temp=pack_temp,
             surf_water=surf_water, pack_water=pack_water,
@@ -652,29 +741,25 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             + sm.surf_temp_fbflag.astype(jnp.int32),
             mu=mu, still_storm=still_storm, dry_time=dry_time,
             cell_valid=state.cell_valid,
-            lake_volume=state.lake_volume, lake_temp=state.lake_temp,
-            lake_ice_we=state.lake_ice_we, lake_ice_area=state.lake_ice_area,
-            lake_ice_height=state.lake_ice_height, lake_swe=state.lake_swe,
+            **lake_state,
         )
 
         # ---- cell aggregation (put_data.c:282-330: sum w*Cv*mu*AreaFract);
         # mu-weighting of the wet/dry columns happens in dw()/dwl() ----------
-        w = p.weight
-        agg = lambda x: (x * w).sum(-1)
-        runoff_c = dw(ro.runoff, ro_d.runoff)
-        baseflow_c = dw(ro.baseflow, ro_d.baseflow)
         ppt_c = dw(ppt, ppt_d)
         wdew_c = dw(wdew_new, wdew_new_d)
         # note: swq already includes surf/pack liquid water (snow_melt.c:540)
         # storage baseline uses the post-transfer lanes at the NEW mu: the
-        # storm transfers conserve mu-weighted mass (dist_prcp.py)
+        # storm transfers conserve mu-weighted mass (dist_prcp.py); lake
+        # recharge enters as an influx credit on the wetland lane
         storage0 = dw(moist_w.sum(-1), moist_d.sum(-1)) + dw(wdew_w, wdew_d) \
             + state.swq * 1000.0 \
             + state.snow_canopy * 1000.0 + state.glac_water_storage
-        storage1 = dw(ro.moist.sum(-1), ro_d.moist.sum(-1)) + wdew_c \
+        storage1 = dw(moist_wet_f.sum(-1), moist_dry_f.sum(-1)) + wdew_c \
             + swq * 1000.0 \
             + snow_canopy_new * 1000.0 + glac_water_storage
-        influx = out_prec + jnp.where(glacier, glac_melt_mm, 0.0)
+        influx = out_prec + jnp.where(glacier, glac_melt_mm, 0.0) \
+            + recharge_lane_mm
         wb_err = (storage1 - storage0) - (
             influx - total_evap - (runoff_c + glac_outflow) - baseflow_c)
 
@@ -693,7 +778,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
 
         # aggregated layer quantities
         aggl = lambda x: (x * w[..., None]).sum(-2)      # [..., n_layer]
-        moist_f = dwl(ro.moist, ro_d.moist)
+        moist_f = dwl(moist_wet_f, moist_dry_f)
         ice_f = dwl(ice_new, ice_new_d)
         liq_f = moist_f - ice_f
         rootmoist = agg((moist_f * (p.root > 0.0)).sum(-1))
@@ -722,7 +807,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             "OUT_PREC": agg(out_prec),
             "OUT_RAINF": agg(out_rain),
             "OUT_SNOWF": agg(out_snow),
-            "OUT_EVAP": agg(total_evap),
+            "OUT_EVAP": agg(total_evap) + lake_evap_mm,
             "OUT_EVAP_BARE": agg(jnp.where(bare, evap_sfree, 0.0)),
             "OUT_EVAP_CANOP": agg(jnp.where(
                 snowing, 0.0,
@@ -741,8 +826,8 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             "OUT_TCAN_FBFLAG": agg(tcanopy_fb.astype(ts.dtype)),
             "OUT_TCANOPY": agg(tcanopy),
             "OUT_VEGT": agg(tfoliage_new),
-            "OUT_RUNOFF": agg(runoff_c + glac_outflow),
-            "OUT_BASEFLOW": agg(baseflow_c),
+            "OUT_RUNOFF": cell_runoff,
+            "OUT_BASEFLOW": cell_baseflow,
             "OUT_INFLOW": agg(ppt_c),
             "OUT_SNOW_MELT": agg(melt_out),
             "OUT_WATER_ERROR": agg(wb_err),
@@ -863,51 +948,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             outputs["OUT_ZWT3"] = agg(zwt3)
             outputs["OUT_ZWTL"] = aggl(zwt_l)
 
-        # ---- lake coupling (full_energy.c:714-800 + lakes.eb.c) ------------
-        if gp.lakes and lake_params is not None:
-            from .physics.lake import LakeState, lake_step
-            lp_l = lake_params
-            cell_area = p.cell_area
-            rperc = jnp.asarray(lp_l.rpercent, outputs["OUT_RUNOFF"].dtype)
-            r_in = rperc * outputs["OUT_RUNOFF"] / 1000.0 * cell_area
-            b_in = rperc * outputs["OUT_BASEFLOW"] / 1000.0 * cell_area
-            lstate = LakeState(
-                volume=state.lake_volume, temp=state.lake_temp,
-                ice_water_eq=state.lake_ice_we, ice_area=state.lake_ice_area,
-                ice_height=state.lake_ice_height, swe=state.lake_swe)
-            lres = lake_step(
-                lp_l, lstate,
-                tair=forcing["air_temp"], wind=forcing["wind"],
-                sw_in=forcing["shortwave"], lw_in=forcing["longwave"],
-                vp_air=forcing["vp"], pressure=forcing["pressure"],
-                prec_mm=forcing["prec"],
-                snowfall_mm=jnp.where(forcing["air_temp"] < 0.0,
-                                      forcing["prec"], 0.0),
-                runoff_in_m3=r_in, baseflow_in_m3=b_in,
-                lat=p.lat, elevation=p.elevation, ds=p.ds, dsmax=p.dsmax,
-                ws_arno=p.ws, c_arno=p.c_expt, dt_sec=dt_sec)
-            new_state = new_state.__class__(
-                **{**{f: getattr(new_state, f) for f in
-                      new_state.__dataclass_fields__},
-                   "lake_volume": lres.state.volume,
-                   "lake_temp": lres.state.temp,
-                   "lake_ice_we": lres.state.ice_water_eq,
-                   "lake_ice_area": lres.state.ice_area,
-                   "lake_ice_height": lres.state.ice_height,
-                   "lake_swe": lres.state.swe})
-            to_mm = 1000.0 / cell_area
-            outputs["OUT_RUNOFF"] = ((1.0 - rperc) * outputs["OUT_RUNOFF"]
-                                     + lres.runoff_out_m3 * to_mm)
-            outputs["OUT_BASEFLOW"] = ((1.0 - rperc) * outputs["OUT_BASEFLOW"]
-                                       + lres.baseflow_out_m3 * to_mm)
-            outputs["OUT_EVAP"] = outputs["OUT_EVAP"] + lres.evap_m3 * to_mm
-            outputs["OUT_LAKE_DEPTH"] = lres.depth
-            outputs["OUT_LAKE_VOLUME"] = lres.state.volume
-            outputs["OUT_LAKE_SURF_AREA"] = lres.sarea
-            outputs["OUT_LAKE_ICE_FRACT"] = lres.ice_fract
-            outputs["OUT_LAKE_ICE_HEIGHT"] = lres.state.ice_height * 100.0
-            outputs["OUT_LAKE_SURF_TEMP"] = lres.surf_temp
-            outputs["OUT_LAKE_EVAP"] = lres.evap_m3 * to_mm
+        outputs.update(lake_out)
 
         # ---- CONTINUEONERROR: freeze cells whose solution went non-finite
         # (vicNl.c:521-558 isValid mask, re-expressed as a masked update) ----

@@ -289,6 +289,9 @@ OUTVAR_META: Dict[str, OutVarMeta] = {
     "OUT_LAKE_SURF_TEMP": _M("degree_Celsius", "LAKE_SURF_TEMP", "",
                              "Lake surface temperature",
                              "time: point area: mean"),
+    "OUT_LAKE_RCHRG": _M("mm", "LAKE_RCHRG", "",
+                         "Recharge from lake to surrounding wetland",
+                         "time: mean area: mean", AGG_SUM),
     "OUT_LAKE_EVAP": _M("mm", "LAKE_EVAP", "", "Net evaporation from lake",
                         "time: mean area: mean", AGG_SUM),
     # extra fluxes

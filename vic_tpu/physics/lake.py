@@ -215,12 +215,16 @@ class LakeStepResult(NamedTuple):
     sarea: jnp.ndarray
     ice_fract: jnp.ndarray
     surf_temp: jnp.ndarray
+    # wetland recharge exchange (water_balance, lakes.eb.c:2016-2096)
+    recharge_m3: jnp.ndarray = None      # water taken from the lake
+    wetland_dmoist_mm: jnp.ndarray = None  # [c, nl] added to wetland soil
 
 
 def lake_step(lp: LakeParams, st: LakeState, *, tair, wind, sw_in, lw_in,
               vp_air, pressure, prec_mm, snowfall_mm, runoff_in_m3,
               baseflow_in_m3, lat, elevation, ds, dsmax, ws_arno, c_arno,
-              dt_sec) -> LakeStepResult:
+              dt_sec, wetland_moist=None,
+              wetland_max_moist=None) -> LakeStepResult:
     """One model step of the lake column + water balance for every cell lane.
     Inactive lanes (has_lake False or volume 0) pass through unchanged."""
     NN = st.temp.shape[-1]
@@ -350,6 +354,41 @@ def lake_step(lp: LakeParams, st: LakeState, *, tair, wind, sw_in, lw_in,
                           jnp.maximum(liquid + inflow_m3 + prec_m3, 0.0))
     volume = st.volume + inflow_m3 + prec_m3 - evap_m3
 
+    # ---- wetland recharge (water_balance, lakes.eb.c:2016-2096): when the
+    # lake grows, the newly-flooded wetland fringe is filled to saturation
+    # with lake water. delta_moist is expressed in mm over the whole wetland
+    # area exactly as the reference does ("mm over (1-lakefrac)",
+    # lakes.eb.c:2057), so it adds directly onto the wetland HRU's layers.
+    # Deviations (documented): the fill is scaled proportionally across
+    # layers when lake liquid cannot saturate all of them (the reference
+    # fills top-down, lakes.eb.c:2077-2092); the flooded fringe's
+    # above-ground snow/dew liberation and the receding-lake saturation of
+    # newly-exposed wetland (lakes.eb.c:2182) are not modeled — lake area
+    # does not rescale the static HRU weights in this architecture.
+    basin0 = jnp.asarray(lp.basin)[..., 0]
+    lakefrac = jnp.clip(jnp.maximum(sarea, st.ice_area)
+                        / jnp.maximum(basin0, 1.0), 0.0, 1.0)
+    if wetland_moist is not None:
+        liquid1 = jnp.maximum(volume - ice_water_eq, 0.0)
+        newfrac = jnp.clip(
+            jnp.maximum(area_from_depth(lp, depth_from_volume(lp, liquid1)),
+                        ice_area) / jnp.maximum(basin0, 1.0), 0.0, 1.0)
+        grow = jnp.logical_and(active, newfrac > lakefrac)
+        frac_ratio = jnp.clip((newfrac - lakefrac)
+                              / jnp.maximum(1.0 - lakefrac, 1e-6), 0.0, 1.0)
+        dmoist = jnp.maximum(wetland_max_moist - wetland_moist, 0.0) \
+            * frac_ratio[..., None]
+        recharge_m3 = dmoist.sum(-1) / 1000.0 * (1.0 - lakefrac) * basin0
+        avail = jnp.maximum(volume - ice_water_eq, 0.0)
+        scale = jnp.where(recharge_m3 > avail,
+                          avail / jnp.maximum(recharge_m3, 1e-12), 1.0)
+        dmoist = jnp.where(grow[..., None], dmoist * scale[..., None], 0.0)
+        recharge_m3 = jnp.where(grow, jnp.minimum(recharge_m3, avail), 0.0)
+        volume = volume - recharge_m3
+    else:
+        recharge_m3 = jnp.zeros_like(volume)
+        dmoist = None
+
     # ARNO baseflow through the lake bed (water_balance:185-228)
     dsmax_step = dsmax / 24.0 * dt_h
     rel_moist = jnp.ones_like(volume)  # saturated bed
@@ -384,6 +423,9 @@ def lake_step(lp: LakeParams, st: LakeState, *, tair, wind, sw_in, lw_in,
         ice_height=K(ice_height, st.ice_height), swe=K(swe_new, st.swe))
     return LakeStepResult(
         state=new_state,
+        recharge_m3=jnp.where(keep, 0.0, recharge_m3),
+        wetland_dmoist_mm=(None if dmoist is None else
+                           jnp.where(keep[..., None], 0.0, dmoist)),
         evap_m3=jnp.where(keep, 0.0, evap_m3),
         runoff_out_m3=jnp.where(keep, 0.0, runoff_out),
         baseflow_out_m3=jnp.where(keep, 0.0, baseflow_out),
