@@ -162,6 +162,9 @@ class GlobalParams:
     moistfract: bool = False
     output_format: str = "ASCII"       # ASCII | BINARY | NETCDF
     netcdf_output_filename: str = "results.nc"
+    # per-host sharded NetCDF output (vic-tpu extension; SURVEY.md SS2.9):
+    # 0/1 = single file; N>1 = N cell-block shard files + offline merge
+    output_shards: int = 0
     netcdf_attributes: dict = field(default_factory=dict)
     compress: bool = False
     prt_header: bool = False
@@ -250,6 +253,7 @@ _STR_KEYS = {
     "SOIL": "soil_file", "VEGPARAM": "veg_file", "VEGLIB": "veglib_file",
     "SNOW_BAND_FILE": "snowband_file", "LAKES_FILE": "lakeparam_file",
     "RESULT_DIR": "result_dir", "NETCDF_OUTPUT_FILENAME": "netcdf_output_filename",
+    "NETCDF_OUTPUT_SHARDS": "output_shards",
     "INIT_STATE_FILE": "init_state_file", "STATENAME": "_statename_special",
 }
 

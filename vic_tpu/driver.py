@@ -164,6 +164,7 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
                 gmb_boundaries.add(r + 1)
 
     chunk = chunk_recs if chunk_recs > 0 else n_rec
+    check_memory_budget(gp, domain, chunk, progress=progress)
     starts = sorted(set(range(0, n_rec, chunk)) | gmb_boundaries)
     all_outs = []
     t0 = time.perf_counter()
@@ -273,6 +274,40 @@ def _state_path(gp, date):
     return base + suffix
 
 
+def check_memory_budget(gp, domain, chunk_recs, progress=True):
+    """HBM/RAM budget estimate (vicNl.c:218-235 MAX_MEMORY governor).
+
+    The reference warns when cells * 96 kB exceeds MAX_MEMORY GB. Here the
+    dominant terms are the scan carry (state pytree), the device-resident
+    forcing chunk, and the stacked per-chunk outputs; a 2x factor covers XLA
+    temporaries. Warns (never aborts) with a suggested --chunk, and checks
+    against the accelerator's HBM when discoverable."""
+    n_cell = domain.n_cell
+    max_hru = domain.hru.mask.shape[1]
+    nl, nn = gp.nlayer, max(gp.nnode, 3)
+    state_b = n_cell * max_hru * (4 * (30 + 6 * nl + nn))
+    forcing_b = chunk_recs * n_cell * 9 * 4
+    outputs_b = chunk_recs * n_cell * (90 + 3 * nl + nn) * 4
+    est_gb = 2.0 * (state_b + forcing_b + outputs_b) / 1e9
+
+    budget_gb = gp.max_memory if gp.max_memory > 0 else None
+    if budget_gb is None:
+        try:
+            import jax
+            stats = jax.devices()[0].memory_stats()
+            if stats and "bytes_limit" in stats:
+                budget_gb = stats["bytes_limit"] / 1e9
+        except Exception:
+            pass
+    if budget_gb and est_gb > budget_gb and progress:
+        good_chunk = max(1, int(chunk_recs * budget_gb / max(est_gb, 1e-9)))
+        print(f"WARNING: estimated device memory {est_gb:.2f} GB exceeds "
+              f"budget {budget_gb:.2f} GB "
+              f"(MAX_MEMORY governor, vicNl.c:218-235); "
+              f"consider --chunk {good_chunk}", file=sys.stderr)
+    return est_gb
+
+
 def write_outputs(gp, domain, timeaxis, agg, steps_per_out):
     """Dispatch to the configured output format (WriteOutputContext.c)."""
     var_names = list(agg.keys())
@@ -289,15 +324,30 @@ def write_outputs(gp, domain, timeaxis, agg, steps_per_out):
         from .io import native
         if not native.available():
             raise RuntimeError("NETCDF output requested but libnetcdf missing")
-        from .output import NetCDFOutputWriter
         path = os.path.join(gp.result_dir, gp.netcdf_output_filename)
-        w = NetCDFOutputWriter(
-            path, lats, lons, var_names, nlayer=gp.nlayer,
-            nnode=max(gp.nnode, 3), nband=max(gp.snow_band, 1),
-            global_attrs=dict(gp.netcdf_attributes),
-            compress=5 if gp.compress else 0)
-        w.write_all(agg, tvals)
-        w.close()
+        import jax
+        n_shards = max(gp.output_shards, jax.process_count())
+        sel = {v: agg[v] for v in var_names}
+        if n_shards > 1:
+            # per-host sharded output (parallel/io_shards.py): each process
+            # writes its cell blocks; merge offline with
+            # tools/merge_output_shards.py
+            from .parallel.io_shards import write_sharded_netcdf
+            write_sharded_netcdf(
+                path, lats, lons, sel, tvals, n_shards,
+                nlayer=gp.nlayer, nnode=max(gp.nnode, 3),
+                nband=max(gp.snow_band, 1),
+                global_attrs=dict(gp.netcdf_attributes),
+                compress=5 if gp.compress else 0)
+        else:
+            from .output import NetCDFOutputWriter
+            w = NetCDFOutputWriter(
+                path, lats, lons, var_names, nlayer=gp.nlayer,
+                nnode=max(gp.nnode, 3), nband=max(gp.snow_band, 1),
+                global_attrs=dict(gp.netcdf_attributes),
+                compress=5 if gp.compress else 0)
+            w.write_all(agg, tvals)
+            w.close()
     elif gp.output_format.upper() == "BINARY":
         from .output import BinaryOutputWriter
         w = BinaryOutputWriter(gp.result_dir, "fluxes", lats, lons, var_names,
