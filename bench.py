@@ -21,24 +21,37 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
+    import jax.numpy as jnp
+
     from __graft_entry__ import _build
     from vic_tpu.model import run
 
-    n_cell = 4096
-    n_rec = 30
+    n_cell = 32768
+    n_rec = 60
     gp, params, stack, state = _build(n_cell=n_cell, n_rec=n_rec,
                                       full_energy=True, glacier=True)
 
-    fn = jax.jit(lambda s, f: run(s, f, params, gp))
+    # params passed as a jit ARGUMENT (closed-over arrays would be baked
+    # into the HLO as constants and overflow the remote-compile payload
+    # at production domain sizes)
+    def fwd(s, f, p):
+        s1, outs = run(s, f, p, gp)
+        # scalar digest: on the tunneled "axon" platform block_until_ready
+        # does not actually block, so fetching a value that depends on
+        # every output is the only honest completion barrier
+        dig = sum(jnp.sum(v) for v in outs.values()) + jnp.sum(s1.moist)
+        return s1, outs, dig
+
+    fn = jax.jit(fwd)
     # compile + warmup
-    s1, outs = fn(state, stack)
-    jax.block_until_ready(outs["OUT_EVAP"])
+    s1, outs, dig = fn(state, stack, params)
+    float(dig)
 
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        s1, outs = fn(state, stack)
-        jax.block_until_ready(outs["OUT_EVAP"])
+        s1, outs, dig = fn(state, stack, params)
+        float(dig)
     dt = (time.perf_counter() - t0) / reps
 
     cell_steps_per_s = n_cell * n_rec / dt

@@ -100,7 +100,19 @@ def test_wet_dry_lanes_diverge():
     assert (wet[part] > dry[part] + 1e-3).any()
 
 
-def test_dist_off_keeps_lanes_equal():
-    fs, _ = run_case(dist=False)
-    np.testing.assert_allclose(np.asarray(fs.moist),
-                               np.asarray(fs.moist_dry))
+def test_dist_off_leaves_dry_lane_untouched():
+    """Without DIST_PRCP the dry columns are inert pass-through carries
+    (never read: mu stays 1 and a storm-onset averaging would overwrite
+    them before first use)."""
+    gp = GlobalParams(dt=24, startyear=1995, startmonth=6, nrecs=30,
+                      dist_prcp=False)
+    dom = synthetic_domain(n_cell=3)
+    params = prepare_domain(dom, gp)
+    ax = make_time_axis(1995, 6, 1, 0, 30, 24)
+    forc = synthetic_forcing(30, 3, start_doy=152, seed=3)
+    st0 = initial_state(dom, gp)
+    fs, _ = jax.jit(lambda s, f: run(s, f, params, gp))(
+        st0, make_forcing_stack(forc, ax))
+    np.testing.assert_allclose(np.asarray(fs.moist_dry),
+                               np.asarray(st0.moist_dry))
+    assert float(np.asarray(fs.mu).min()) == 1.0

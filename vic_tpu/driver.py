@@ -141,9 +141,12 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
         state = load_state(init_state_path or gp.init_state_file, gp,
                            template=state, domain=domain)
 
-    step = make_step(params, gp, geom, zwt_curves, lake_params)
-
-    def scan_chunk(st, forc_stack):
+    # Pass the per-cell parameter pytrees through the jit boundary as
+    # ARGUMENTS: a closed-over concrete array is baked into the HLO as a
+    # constant, which bloats the program (and overflows the remote-compile
+    # payload limit beyond ~50k cells).
+    def scan_chunk(st, forc_stack, prm, gm, zw, lkp):
+        step = make_step(prm, gp, gm, zw, lkp)
         return jax.lax.scan(step, st, forc_stack)
 
     scan_jit = jax.jit(scan_chunk)
@@ -175,7 +178,8 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
                              timeaxis.hour, timeaxis.day_in_year)])
         stack = make_forcing_stack(
             {k: v[start:end] for k, v in forcing.items()}, sub_ax)
-        state, outs = scan_jit(state, stack)
+        state, outs = scan_jit(state, stack, params, geom, zwt_curves,
+                               lake_params)
         all_outs.append(jax.tree_util.tree_map(np.asarray, outs))
         if gmb is not None and end in gmb_boundaries | {n_rec}:
             res = gmb.maybe_emit(timeaxis, end - 1,

@@ -303,7 +303,8 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 z_ref=aero.ref_height.canopy,
                 displacement=aero.displacement.canopy,
                 roughness=aero.roughness.canopy,
-                dt_sec=dt_sec, max_iter=gp.brent_maxiter)
+                dt_sec=dt_sec, max_iter=gp.brent_maxiter,
+                active_mask=jnp.logical_and(ov_snow, p.mask))
             rainfall = jnp.where(ov_snow, ci.rain_throughfall * 1000.0,
                                  rainfall_base)
             snowfall_ground = jnp.where(ov_snow, ci.snow_throughfall * 1000.0,
@@ -345,7 +346,8 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 z_ref=aero.ref_height.snow_covered,
                 roughness=aero.roughness.snow_covered,
                 dt_sec=dt_sec, max_iter=gp.brent_maxiter,
-                tfallback=gp.tfallback, blowing_flux=blow_flux)
+                tfallback=gp.tfallback, blowing_flux=blow_flux,
+                active_mask=jnp.logical_and(snow_present, p.mask))
 
             # merge: lanes with snow take the snow result, others keep zeros
             S = lambda new, old: jnp.where(snow_present, new, old)
@@ -370,7 +372,9 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 roughness=aero.roughness.glacier,
                 old_tsurf=state.glac_surf_temp,
                 glac_surf_we=B(p.glac_surf_we), dt_sec=dt_sec,
-                max_iter=gp.brent_maxiter)
+                max_iter=gp.brent_maxiter,
+                active_mask=jnp.logical_and(
+                    jnp.logical_and(glacier, ~snow_present), p.mask))
             on_ice = jnp.logical_and(glacier, ~snow_present)
             glac_melt_mm = jnp.where(on_ice, glac.melt_mm, 0.0)
             glac_surf_temp = jnp.where(on_ice, glac.surf_temp,
@@ -436,22 +440,35 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             net_short_bare = (1.0 - bare_albedo) * sw_in * (1.0 - coverage)
             long_bare_in = (1.0 - coverage) * lw_in
 
+            # ts-independent evap precomputations, hoisted out of the
+            # surface-T Brent iteration (physics/evap.py build_evap_pre)
+            from .physics.evap import build_evap_pre
+            pre_args = dict(
+                wcr=B(p.wcr), wpwp=B(p.wpwp), root=p.root,
+                max_moist0=B(p.max_moist)[..., 0], b_infilt=B(p.b_infilt),
+                rmin=p.rmin, rgl=p.rgl, lai=lai,
+                net_short=net_short_bare, vpd=vpd, air_temp=tair,
+                elevation=B(p.elevation))
+            evap_pre = build_evap_pre(moist0, ice0, **pre_args)
             eb_kwargs = dict(
                 eb_common, tair=tca,
                 shortwave_net_bare=net_short_bare, long_bare_in=long_bare_in,
                 overstory_snowing=jnp.logical_and(p.overstory, snowing),
-                wdew=wdew0, rainfall=rainfall, snow_coverage=coverage)
+                wdew=wdew0, rainfall=rainfall, snow_coverage=coverage,
+                evap_pre=evap_pre)
             if gp.dist_prcp:
                 # dry-lane column for the in-residual ET (canopy_evap.c
                 # dist loop)
                 eb_kwargs["dist_dry"] = dict(
                     moist_l=moist_d, ice_l=ice_d, wdew=wdew_d,
                     rainfall=jnp.zeros_like(rainfall))
+                eb_kwargs["evap_pre_dry"] = build_evap_pre(
+                    moist_d, ice_d, **pre_args)
                 eb_kwargs["mu_wet"] = mu
 
             ts, fb = solve_surface_temperature(
                 eb_kwargs, state.node_temp[..., 0], tca, full_energy,
-                max_iter=gp.brent_maxiter)
+                max_iter=gp.brent_maxiter, active=p.mask)
             eb = surf_energy_terms(ts, compute_evap=True, **eb_kwargs)
 
             return dict(
@@ -717,9 +734,15 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 lake_ice_height=state.lake_ice_height,
                 lake_swe=state.lake_swe)
 
+        # Without DIST_PRCP the dry columns are inert: pass the carried
+        # arrays through untouched so XLA elides the copies. They are never
+        # read before a storm-onset averaging overwrites them (mu==1 until
+        # then), so stale values are harmless even across a warm start.
         new_state = ModelState(
             moist=moist_wet_f, ice=ice_new, wdew=wdew_new,
-            moist_dry=moist_dry_f, ice_dry=ice_new_d, wdew_dry=wdew_new_d,
+            moist_dry=moist_dry_f if gp.dist_prcp else state.moist_dry,
+            ice_dry=ice_new_d if gp.dist_prcp else state.ice_dry,
+            wdew_dry=wdew_new_d if gp.dist_prcp else state.wdew_dry,
             snow_canopy=snow_canopy_new,
             swq=swq, surf_temp=surf_temp, pack_temp=pack_temp,
             surf_water=surf_water, pack_water=pack_water,

@@ -118,7 +118,7 @@ def snow_intercept(*, snowfall_mm, rainfall_mm, int_snow_m, int_rain_m,
                    net_short_over, long_over_in, long_under_out,
                    ra_overstory, wind_over, z_ref, displacement, roughness,
                    dt_sec, f_cover=1.0, max_iter: int = 30
-                   ) -> CanopySnowResult:
+                   , active_mask=None) -> CanopySnowResult:
     """Snow interception + foliage energy balance for overstory lanes
     (snow_intercept.c:81-500). All *_mm inputs in mm/step; canopy storages in m.
     """
@@ -188,9 +188,11 @@ def snow_intercept(*, snowfall_mm, rainfall_mm, int_snow_m, int_rain_m,
     def resid(t):
         return canopy_energy_terms(t, **term_kwargs)["rest"]
 
+    brent_active = ~melt_cond if active_mask is None else \
+        jnp.logical_and(~melt_cond, active_mask)
     res = batched_brent(resid, tfoliage_old - c.SNOW_DT,
                         jnp.minimum(tfoliage_old + c.SNOW_DT, 0.0),
-                        max_iter=max_iter, max_tries=1)
+                        max_iter=max_iter, max_tries=1, active=brent_active)
     t_cold = jnp.where(res.converged, res.root, tfoliage_old)
     fbflag = jnp.logical_and(~melt_cond, ~res.converged)
     tfoliage = jnp.where(melt_cond, 0.0, t_cold)

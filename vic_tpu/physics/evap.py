@@ -61,14 +61,23 @@ def calc_rc(rs, net_short, rgl, tair, vpd, lai, gsm_inv, ref_crop: bool = False)
     return rc
 
 
-def penman(tair, elevation, rad, vpd, ra, rc, rarc):
-    """Penman–Monteith evaporation in mm/day (penman.c:96-143)."""
+def penman_coeffs(tair, elevation):
+    """The (tair, elevation)-only Penman terms — constant during a
+    surface-temperature solve, hoistable out of the Brent iteration."""
     slope = svp_slope(tair)
     h = 287.0 / 9.81 * ((tair + 273.15) + 0.5 * elevation * LAPSE_PM)
     pz = PS_PM * jnp.exp(-elevation / h)
     lv = 2501000.0 - 2361.0 * tair
     gamma = 1628.6 * pz / lv
     r_air = 0.003486 * pz / (275.0 + tair)
+    return slope, lv, gamma, r_air
+
+
+def penman(tair, elevation, rad, vpd, ra, rc, rarc, coeffs=None):
+    """Penman–Monteith evaporation in mm/day (penman.c:96-143)."""
+    if coeffs is None:
+        coeffs = penman_coeffs(tair, elevation)
+    slope, lv, gamma, r_air = coeffs
     ra_safe = jnp.maximum(ra, 1e-10)
     evap = ((slope * rad + r_air * CP_PM * vpd / ra_safe)
             / (lv * (slope + gamma * (1.0 + (rc + rarc) / ra_safe)))
@@ -77,18 +86,12 @@ def penman(tair, elevation, rad, vpd, ra, rc, rarc):
     return jnp.where(jnp.logical_and(vpd >= 0.0, evap < 0.0), 0.0, evap)
 
 
-def transpiration(moist, soil_ice, wcr, wpwp, root, depth,
-                  rmin, rgl, lai, rarc,
-                  rad, net_short, vpd, air_temp, elevation, ra,
-                  f, wdew_frac_pow, delta_t):
-    """Transpiration split over soil layers (canopy_evap.c:218-445).
-
-    moist/soil_ice/wcr/wpwp/root/depth: [..., n_layer]
-    everything else: [...] broadcastable.
-    f: fraction of step used by canopy evaporation.
-    wdew_frac_pow: (Wdew/Wdmax)^(2/3) term.
-    Returns layerevap [..., n_layer] (mm/step).
-    """
+def transpiration_pre(moist, soil_ice, wcr, wpwp, root,
+                      rmin, rgl, lai, net_short, vpd, air_temp, elevation):
+    """Everything in the transpiration split that does not depend on the
+    candidate surface temperature: moisture-stress fractions, the CASE 1/2
+    selection, both canopy resistances, the layer caps, and the Penman
+    coefficients. Hoisted out of the surface-T Brent iteration."""
     n_layer = moist.shape[-1]
     avail = jnp.maximum(moist - soil_ice, 0.0)
     has_root = root > 0.0
@@ -106,51 +109,77 @@ def transpiration(moist, soil_ice, wcr, wpwp, root, depth,
         | ((moist1 >= wcr1) & ((1.0 - root_last) >= 0.5)) \
         | ((moist2 >= wcr[..., -1]) & (root_last >= 0.5))
 
-    trans_factor = (1.0 - f * wdew_frac_pow)
-
-    # --- CASE 1: unstressed potential ET split by roots -----------------
-    rc1 = calc_rc(rmin, net_short, rgl, air_temp, vpd, lai, jnp.ones_like(vpd))
-    evap1 = (penman(air_temp, elevation, rad, vpd, ra, rc1, rarc)
-             * delta_t / SEC_PER_DAY * trans_factor)
     layer_wet = avail_eff >= wcr
     gsm_l = jnp.clip((avail_eff - wpwp) / jnp.maximum(wcr - wpwp, 1e-10),
                      0.0, 1.0)
-    layerevap1 = jnp.where(layer_wet,
-                           evap1[..., None] * root,
-                           evap1[..., None] * gsm_l * root)
-    # redistribute the shortfall of stressed layers to unstressed layers
-    spare = jnp.where(layer_wet, 0.0,
-                      evap1[..., None] * root * (1.0 - gsm_l)).sum(-1)
+    rc1 = calc_rc(rmin, net_short, rgl, air_temp, vpd, lai,
+                  jnp.ones_like(vpd))
+    rc2 = calc_rc(rmin[..., None] * jnp.ones_like(gsm_l),
+                  net_short[..., None], rgl[..., None], air_temp[..., None],
+                  vpd[..., None], lai[..., None], gsm_l)
+
+    # CASE 1 shortfall redistribution weights: layerevap1 = evap1 * w1
+    w1 = jnp.where(layer_wet, root, gsm_l * root)
+    spare_frac = jnp.where(layer_wet, 0.0, root * (1.0 - gsm_l)).sum(-1)
     root_sum = 1.0 - jnp.where(layer_wet, 0.0, root).sum(-1)
     root_sum = jnp.where(root_sum <= 0.0, 1.0, root_sum)
-    layerevap1 = layerevap1 + jnp.where(
-        layer_wet, root * (spare / root_sum)[..., None], 0.0)
-
-    # --- CASE 2: independent stressed layers ----------------------------
-    rc2 = calc_rc(rmin[..., None] * jnp.ones_like(gsm_l), net_short[..., None],
-                  rgl[..., None], air_temp[..., None], vpd[..., None],
-                  lai[..., None], gsm_l)
-    layerevap2 = jnp.where(
-        gsm_l > 0.0,
-        penman(air_temp[..., None], elevation[..., None], rad[..., None],
-               vpd[..., None], ra[..., None], rc2, rarc[..., None])
-        * delta_t / SEC_PER_DAY * root * trans_factor[..., None],
-        0.0)
-
-    layerevap = jnp.where(case1[..., None], layerevap1, layerevap2)
+    w1 = w1 + jnp.where(layer_wet, root * (spare_frac / root_sum)[..., None],
+                        0.0)
 
     # moisture-availability caps (canopy_evap.c:420-443)
     cap_icy = jnp.where(soil_ice >= wpwp, avail, moist - wpwp)
-    cap = jnp.where(soil_ice > 0.0, cap_icy, moist - wpwp)
-    layerevap = jnp.clip(layerevap, 0.0, jnp.maximum(cap, 0.0))
-    return layerevap
+    cap = jnp.maximum(jnp.where(soil_ice > 0.0, cap_icy, moist - wpwp), 0.0)
+
+    return dict(case1=case1, gsm_l=gsm_l, rc1=rc1, rc2=rc2, w1=w1, cap=cap,
+                coeffs=penman_coeffs(air_temp, elevation))
+
+
+def transpiration(moist, soil_ice, wcr, wpwp, root, depth,
+                  rmin, rgl, lai, rarc,
+                  rad, net_short, vpd, air_temp, elevation, ra,
+                  f, wdew_frac_pow, delta_t, pre=None):
+    """Transpiration split over soil layers (canopy_evap.c:218-445).
+
+    moist/soil_ice/wcr/wpwp/root/depth: [..., n_layer]
+    everything else: [...] broadcastable.
+    f: fraction of step used by canopy evaporation.
+    wdew_frac_pow: (Wdew/Wdmax)^(2/3) term.
+    pre: optional transpiration_pre result (ts-independent hoists).
+    Returns layerevap [..., n_layer] (mm/step).
+    """
+    if pre is None:
+        pre = transpiration_pre(moist, soil_ice, wcr, wpwp, root,
+                                rmin, rgl, lai, net_short, vpd, air_temp,
+                                elevation)
+    coeffs = pre["coeffs"]
+    trans_factor = (1.0 - f * wdew_frac_pow)
+
+    # --- CASE 1: unstressed potential ET split by roots -----------------
+    evap1 = (penman(air_temp, elevation, rad, vpd, ra, pre["rc1"], rarc,
+                    coeffs=coeffs)
+             * delta_t / SEC_PER_DAY * trans_factor)
+    layerevap1 = evap1[..., None] * pre["w1"]
+
+    # --- CASE 2: independent stressed layers ----------------------------
+    gsm_l = pre["gsm_l"]
+    cl = lambda x: x[..., None]
+    layerevap2 = jnp.where(
+        gsm_l > 0.0,
+        penman(cl(air_temp), cl(elevation), cl(rad), cl(vpd), cl(ra),
+               pre["rc2"], cl(rarc),
+               coeffs=tuple(cl(t) for t in coeffs))
+        * delta_t / SEC_PER_DAY * root * trans_factor[..., None],
+        0.0)
+
+    layerevap = jnp.where(pre["case1"][..., None], layerevap1, layerevap2)
+    return jnp.clip(layerevap, 0.0, pre["cap"])
 
 
 def canopy_evap(moist, soil_ice, wcr, wpwp, root, depth,
                 wdew, prec, wdmax,
                 rmin, rgl, lai, rarc,
                 rad, net_short, vpd, air_temp, elevation, ra,
-                delta_t, calc_transpiration: bool = True):
+                delta_t, calc_transpiration: bool = True, pre=None):
     """Canopy interception evaporation + transpiration (canopy_evap.c:46-213).
 
     Returns (evap_total_mm_per_step [...], layerevap [..., n_layer],
@@ -158,14 +187,16 @@ def canopy_evap(moist, soil_ice, wcr, wpwp, root, depth,
     All water terms in mm per time step.
     """
     wdmax_safe = jnp.maximum(wdmax, 1e-10)
+    coeffs = pre["coeffs"] if pre is not None else None
     # spill any Wdew over this month's capacity (canopy_evap.c:152-156)
     throughfall = jnp.maximum(wdew - wdmax, 0.0)
     wdew_c = jnp.minimum(wdew, wdmax)
 
-    rc = calc_rc(jnp.zeros_like(vpd), net_short, rgl, air_temp, vpd, lai,
-                 jnp.ones_like(vpd))
+    # wet-canopy evaporation uses rc = 0 (calc_rc returns 0 when rs == 0,
+    # penman.c:55; the reference passes rs = 0.0 here)
     canopyevap = (jnp.power(jnp.clip(wdew_c / wdmax_safe, 0.0, 1.0), 2.0 / 3.0)
-                  * penman(air_temp, elevation, rad, vpd, ra, rc, rarc)
+                  * penman(air_temp, elevation, rad, vpd, ra,
+                           jnp.zeros_like(vpd), rarc, coeffs=coeffs)
                   * delta_t / SEC_PER_DAY)
 
     # fraction of step consumed by canopy evaporation (canopy_evap.c:168-177)
@@ -186,7 +217,8 @@ def canopy_evap(moist, soil_ice, wcr, wpwp, root, depth,
         layerevap = transpiration(moist, soil_ice, wcr, wpwp, root, depth,
                                   rmin, rgl, lai, rarc,
                                   rad, net_short, vpd, air_temp, elevation, ra,
-                                  f, wdew_frac_pow, delta_t)
+                                  f, wdew_frac_pow, delta_t,
+                                  pre=(pre or {}).get("transp"))
     else:
         layerevap = jnp.zeros_like(moist)
 
@@ -229,29 +261,53 @@ def compute_pot_evap(month_idx, tair, vpd, shortwave, net_longwave, elevation,
     return out
 
 
-def arno_evap(moist0, soil_ice0, max_moist0, depth0, resid_moist0,
-              b_infilt, rad, air_temp, vpd, elevation, ra, delta_t):
-    """ARNO/Francini-Pacciani bare-soil evaporation from the top layer
-    (arno_evap.c:61-228). Returns evap (mm/step)."""
-    moist = jnp.minimum(jnp.maximum(moist0 - soil_ice0, 0.0), max_moist0)
-    epot = penman(air_temp, elevation, rad, vpd, ra,
-                  jnp.zeros_like(ra), jnp.zeros_like(ra)) * delta_t / SEC_PER_DAY
+def build_evap_pre(moist, soil_ice, wcr, wpwp, root, max_moist0, b_infilt,
+                   rmin, rgl, lai, net_short, vpd, air_temp, elevation):
+    """Bundle every ts-independent ET precomputation for one moisture column:
+    Penman coefficients, ARNO beta, transpiration stress/selection structure.
+    Built once per model step (per DIST column) and reused by every Brent
+    iterate of the surface-temperature solve."""
+    return dict(
+        coeffs=penman_coeffs(air_temp, elevation),
+        arno_beta=arno_beta(moist[..., 0], soil_ice[..., 0], max_moist0,
+                            b_infilt),
+        transp=transpiration_pre(moist, soil_ice, wcr, wpwp, root,
+                                 rmin, rgl, lai, net_short, vpd, air_temp,
+                                 elevation))
 
+
+def arno_beta(moist0, soil_ice0, max_moist0, b_infilt):
+    """The ARNO beta factor: saturated-area fraction + 30-term power series
+    (arno_evap.c:184-196). A pure function of soil moisture — hoist it out
+    of the surface-temperature Brent iteration (the series' 30 pow/div per
+    lane cost ~17% of the whole model step when evaluated per iterate)."""
+    moist = jnp.minimum(jnp.maximum(moist0 - soil_ice0, 0.0), max_moist0)
     ratio = jnp.clip(1.0 - moist / max_moist0, 0.0, 1.0)
     b_safe = jnp.where(b_infilt == 0.0, 1.0, b_infilt)
     ratio_b = jnp.where(ratio != 0.0, jnp.power(ratio, b_safe), 0.0)
     as_frac = 1.0 - ratio_b
     ratio_ib = jnp.where(ratio_b != 0.0, jnp.power(ratio_b, 1.0 / b_safe), 0.0)
-
-    # 30-term power series for the beta function (arno_evap.c:184-196)
     powers = jnp.power(ratio_ib[..., None],
                        jnp.arange(1, 31, dtype=moist.dtype))
     terms = b_infilt[..., None] * powers / (
         b_infilt[..., None] + jnp.arange(1, 31, dtype=moist.dtype))
     dummy = 1.0 + terms.sum(-1)
+    return as_frac + (1.0 - as_frac) * (1.0 - ratio_ib) * dummy
 
-    beta_asp = as_frac + (1.0 - as_frac) * (1.0 - ratio_ib) * dummy
-    evap = epot * beta_asp
+
+def arno_evap(moist0, soil_ice0, max_moist0, depth0, resid_moist0,
+              b_infilt, rad, air_temp, vpd, elevation, ra, delta_t,
+              beta=None, coeffs=None):
+    """ARNO/Francini-Pacciani bare-soil evaporation from the top layer
+    (arno_evap.c:61-228). Returns evap (mm/step). `beta` is the optional
+    precomputed arno_beta (ts-independent)."""
+    moist = jnp.minimum(jnp.maximum(moist0 - soil_ice0, 0.0), max_moist0)
+    epot = penman(air_temp, elevation, rad, vpd, ra,
+                  jnp.zeros_like(ra), jnp.zeros_like(ra),
+                  coeffs=coeffs) * delta_t / SEC_PER_DAY
+    if beta is None:
+        beta = arno_beta(moist0, soil_ice0, max_moist0, b_infilt)
+    evap = epot * beta
 
     resid_mm = resid_moist0 * depth0 * 1000.0
     cap = jnp.maximum(moist - resid_mm, 0.0)

@@ -97,7 +97,7 @@ class GlacierAblationResult(NamedTuple):
 def glacier_ablation(*, tair, net_short, longwave_in, wind, vp_air, vpd,
                      air_dens, pressure, le, rain_mm, ra, z_ref, roughness,
                      old_tsurf, glac_surf_we, dt_sec,
-                     max_iter: int = 30) -> GlacierAblationResult:
+                     max_iter: int = 30, active_mask=None) -> GlacierAblationResult:
     """Bare-ice ablation for glacier HRU lanes (glacier_melt.c:65-205)."""
     rain_m = rain_mm / 1000.0
     kwargs = dict(dt=dt_sec, ra=ra, z_ref=z_ref, roughness=roughness,
@@ -117,8 +117,10 @@ def glacier_ablation(*, tair, net_short, longwave_in, wind, vp_air, vpd,
     def resid(t):
         return glacier_energy_terms(t, **kwargs).rest
 
+    brent_active = ~melt_cond if active_mask is None else \
+        jnp.logical_and(~melt_cond, active_mask)
     res = batched_brent(resid, old_tsurf - c.SNOW_DT, old_tsurf + c.SNOW_DT,
-                        max_iter=max_iter, max_tries=1)
+                        max_iter=max_iter, max_tries=1, active=brent_active)
     t_cold = jnp.where(res.converged, res.root, old_tsurf)  # TFALLBACK
     fbflag = jnp.logical_and(~melt_cond, ~res.converged)
 

@@ -267,7 +267,7 @@ def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
               air_temp, tcanopy, tgrnd, wind, vp_air, vpd, air_dens, pressure,
               longwave_in, net_short, lv, ra, displacement, z_ref, roughness,
               dt_sec, max_iter: int = 30, tfallback: bool = True,
-              blowing_flux=0.0) -> SnowMeltResult:
+              blowing_flux=0.0, active_mask=None) -> SnowMeltResult:
     """Batched two-layer snowpack mass/energy update (snow_melt.c:119-560).
 
     All snow states in m of water equivalent; precip inputs in mm/step.
@@ -366,8 +366,10 @@ def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
     def resid(t):
         return snow_energy_terms(t, **term_kwargs).rest
 
+    brent_active = ~melt_cond if active_mask is None else \
+        jnp.logical_and(~melt_cond, active_mask)
     res = batched_brent(resid, old_tsurf - c.SNOW_DT, old_tsurf + c.SNOW_DT,
-                        max_iter=max_iter, max_tries=1)
+                        max_iter=max_iter, max_tries=1, active=brent_active)
     ok = res.converged
     b_surf_temp = jnp.where(ok, res.root, old_tsurf)  # TFALLBACK
     fbflag = jnp.logical_and(~ok, ~melt_cond)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from .. import constants as c
 from ..ops.rootfind import batched_brent
-from .evap import arno_evap, canopy_evap
+from .evap import arno_beta, arno_evap, canopy_evap
 from .snow import latent_heat_from_snow, stability_correction
 from .soil_thermal import estimate_t1, maximum_unfrozen_water
 
@@ -79,7 +79,8 @@ def surf_energy_terms(
         snow_coverage, surf_atten, include_snow=False, snow_terms=None,
         grnd_flux_type: int = 1, frozen_soil: bool = False,
         compute_evap: bool = True, dist_dry: dict = None,
-        mu_wet=None) -> SurfEBResult:
+        mu_wet=None, evap_pre: dict = None,
+        evap_pre_dry: dict = None) -> SurfEBResult:
     """Evaluate every term of the surface energy balance at candidate Ts."""
     tmean = ts
     tkelv = tmean + c.KELVIN
@@ -156,16 +157,22 @@ def surf_energy_terms(
     # wet/dry columns and mu-weights the total into the latent-heat term
     # (canopy_evap.c:124-206, arno_evap.c:92-99); here the two lanes are two
     # batched evaluations combined with weights (mu, 1-mu).
-    def _lane_evap(moist_d, ice_d, wdew_d, rainfall_d):
+    def _lane_evap(moist_d, ice_d, wdew_d, rainfall_d, pre=None):
+        # `pre` carries ts-independent precomputations hoisted out of the
+        # Brent iteration by the caller (surface-T solve); recomputed here
+        # when absent
+        pre = pre or {}
         evap_veg, layer_evap_veg, cevap_veg, thrufall_veg, wdew_veg = \
             canopy_evap(moist_d, ice_d, wcr, wpwp, root, depth_l,
                         wdew_d, rainfall_d, wdmax, rmin, rgl, lai, rarc,
                         net_bare_rad, shortwave_net_bare, vpd, tair, elevation,
-                        ra_canopy, delta_t)
+                        ra_canopy, delta_t, pre=(pre or None))
         evap_bare = arno_evap(moist_d[..., 0], ice_d[..., 0],
                               max_moist_l[..., 0], depth_l[..., 0],
                               resid_moist0, b_infilt, net_bare_rad, tair, vpd,
-                              elevation, ra_used, delta_t)
+                              elevation, ra_used, delta_t,
+                              beta=pre.get("arno_beta"),
+                              coeffs=pre.get("coeffs"))
         veg = jnp.logical_and(is_veg, lai > 0.0)
         evap_d = jnp.where(veg, evap_veg, evap_bare)
         layer_evap_d = jnp.where(
@@ -181,11 +188,11 @@ def surf_energy_terms(
                throughfall_dry=None, wdew_new_dry=None, evap_dry=None)
     if compute_evap:
         evap, layer_evap, canopy_evap_mm, throughfall, wdew_new = \
-            _lane_evap(moist_l, ice_l, wdew, rainfall)
+            _lane_evap(moist_l, ice_l, wdew, rainfall, pre=evap_pre)
         if dist_dry is not None:
             evap_d, le_d, ce_d, tf_d, wd_d = _lane_evap(
                 dist_dry["moist_l"], dist_dry["ice_l"], dist_dry["wdew"],
-                dist_dry["rainfall"])
+                dist_dry["rainfall"], pre=evap_pre_dry)
             dry = dict(layer_evap_dry=le_d, canopy_evap_mm_dry=ce_d,
                        throughfall_dry=tf_d, wdew_new_dry=wd_d,
                        evap_dry=evap_d)
@@ -240,7 +247,7 @@ def surf_energy_terms(
 
 def solve_surface_temperature(kwargs, t0_old, tair, full_energy: bool,
                               include_snow: bool = False,
-                              max_iter: int = 30):
+                              max_iter: int = 30, active=None):
     """Find the surface temperature and return (Ts, fbflag).
 
     Water-balance mode: Ts = Tair, no iteration (calc_surf_energy_bal.c:300).
@@ -261,6 +268,7 @@ def solve_surface_temperature(kwargs, t0_old, tair, full_energy: bool,
     def resid(t):
         return surf_energy_terms(t, compute_evap=True, **kwargs).error
 
-    res = batched_brent(resid, t_lower, t_upper, max_iter=max_iter)
+    res = batched_brent(resid, t_lower, t_upper, max_iter=max_iter,
+                        active=active)
     ts = jnp.where(res.converged, res.root, t0_old)  # TFALLBACK
     return ts, ~res.converged
