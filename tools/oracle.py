@@ -1,0 +1,351 @@
+#!/usr/bin/env python
+"""Reference-binary oracle harness: generate identical inputs for the C
+reference (pacificclimate/VIC built at /tmp/vicbuild/vicNl, see
+tools/build_reference.sh) and for vic-tpu, run both, and compare:
+
+- wall-clock throughput (cell-steps/s) -> the measured BASELINE
+- final prognostic state (layer moisture, SWE, node temperatures, Wdew)
+  via the reference's ASCII state file, read back with vic-tpu's own
+  StateIO-legacy reader -> numerical parity
+
+Usage:
+  python tools/oracle.py --cells 64 --days 365 --threads 8 \
+      --binary /tmp/vicbuild/vicNl --workdir /tmp/oracle
+
+The generated files use the reference grammar end-to-end (soil/veg/veglib
+per read_soilparam.c / read_vegparam.c / read_veglib.c; ASCII forcings per
+read_atmos_data.c), so vic-tpu ingests them through its own file readers —
+the comparison covers the full input pipeline, not just the physics.
+"""
+import argparse
+import os
+import re
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+NL = 3
+FORCE_TYPES = ["PREC", "AIR_TEMP", "WIND", "SHORTWAVE", "LONGWAVE",
+               "PRESSURE", "VP"]
+
+
+DT_HOURS = 3
+STEPS_PER_DAY = 24 // DT_HOURS
+
+
+def synth_forcing(n_rec, n_cell, seed=0):
+    """Sub-daily (3-hourly) forcing series with seasonal + diurnal cycles
+    (PRESSURE/VP in kPa per the VIC ASCII forcing convention,
+    initialize_atmos.c:287-299). The reference requires sub-daily AIR_TEMP
+    when TMAX/TMIN are not supplied (initialize_atmos.c temperature check)."""
+    rng = np.random.default_rng(seed)
+    step = np.arange(n_rec)
+    doy = (step // STEPS_PER_DAY) % 365
+    hour = (step % STEPS_PER_DAY) * DT_HOURS
+    season = np.sin(2.0 * np.pi * (doy - 80) / 365.0)
+    diurnal = np.sin(2.0 * np.pi * (hour - 9) / 24.0)
+    air = (8.0 + 12.0 * season + 5.0 * diurnal)[:, None] \
+        + rng.normal(0, 1.5, (n_rec, n_cell))
+    wet = rng.random((n_rec, n_cell)) < 0.12
+    prec = np.where(wet, rng.gamma(2.0, 1.5, (n_rec, n_cell)), 0.0)
+    wind = np.clip(rng.gamma(2.0, 1.2, (n_rec, n_cell)), 0.2, None)
+    sw_day = np.clip(np.sin(2.0 * np.pi * (hour - 6) / 24.0), 0.0, None)
+    sw = np.clip(((250 + 200 * season) * 2.0 * sw_day)[:, None]
+                 + rng.normal(0, 15, (n_rec, n_cell)), 0.0, None)
+    svp = 0.6108 * np.exp(17.27 * air / (237.3 + air))  # kPa
+    vp = np.clip(svp * rng.uniform(0.4, 0.95, (n_rec, n_cell)), 0.05, None)
+    lw = 1.24 * (10.0 * vp / (air + 273.15)) ** (1.0 / 7.0) \
+        * 5.67e-8 * (air + 273.15) ** 4
+    pressure = np.full((n_rec, n_cell), 95.5)            # kPa
+    return dict(PREC=prec, AIR_TEMP=air, WIND=wind, SHORTWAVE=sw,
+                LONGWAVE=lw, PRESSURE=pressure, VP=vp)
+
+
+def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0):
+    n_rec = n_days * STEPS_PER_DAY
+    os.makedirs(workdir, exist_ok=True)
+    os.makedirs(os.path.join(workdir, "forcing"), exist_ok=True)
+    os.makedirs(os.path.join(workdir, "results"), exist_ok=True)
+
+    lats = 48.0 + 0.25 * np.arange(n_cell)
+    # lng 0 with off_gmt 0 => hour_offset 0 (initialize_atmos.c:125): no
+    # local-solar-time shift of the forcing on either side
+    lons = np.full(n_cell, 0.0)
+
+    # ---- soil file (read_soilparam.c column order, glacier format) ----
+    glacier_defaults = [0.85, 0.94, 0.58, 0.82, 0.46,   # albedo decay
+                        -0.5, 0.5, 1.0, 1.0,            # rain/snow, PADJ
+                        -6.5, 0.0, 200.0, 200.0,        # T_LAPSE PGRAD GLAC
+                        0.01, 0.05, 2.0, 0.3, 0.002]    # KMIN DK A ALB ROUGH
+    with open(os.path.join(workdir, "soil.txt"), "w") as f:
+        for ci in range(n_cell):
+            row = [1, ci + 1, lats[ci], lons[ci],
+                   0.2, 0.01, 12.0, 0.8, 2.0]
+            row += [8.0] * NL                       # expt
+            row += [300.0] * NL                     # ksat
+            row += [-99.0] * NL                     # phi_s
+            row += [40.0, 120.0, 280.0]             # init_moist
+            row += [500.0 + 10.0 * ci]              # elevation
+            row += [0.1, 0.3, 1.0]                  # depth
+            row += [8.0, 4.0]                       # avg_temp, dp
+            row += [30.0] * NL                      # bubble
+            row += [0.4] * NL                       # quartz
+            row += [1400.0] * NL                    # bulk density (mineral)
+            row += [2650.0] * NL                    # soil density
+            row += [0.0]                            # off_gmt
+            row += [0.6] * NL                       # Wcr fract
+            row += [0.3] * NL                       # Wpwp fract
+            row += [0.01, 0.0012, 800.0]            # rough snow_rough annprec
+            row += [0.05] * NL                      # resid moist (fract)
+            row += [0]                              # FS_ACTIVE
+            row += [15.0]                           # avgJulyAirTemp
+            row += glacier_defaults
+            f.write(" ".join(f"{v:g}" for v in row) + "\n")
+
+    # ---- veg library (read_veglib.c: class overstory rarc rmin LAIx12
+    # ALBx12 ROUGHx12 DISPx12 wind_h RGL rad_atten wind_atten trunk) ----
+    with open(os.path.join(workdir, "veglib.txt"), "w") as f:
+        lai = [1.5 + 1.0 * np.sin(2 * np.pi * (m - 3) / 12.0)
+               for m in range(12)]
+        row = [1, 0, 25.0, 100.0] + [f"{v:.3f}" for v in lai] \
+            + [0.2] * 12 + [0.05] * 12 + [0.3] * 12 \
+            + [10.0, 100.0, 0.5, 0.5, 0.2]
+        f.write(" ".join(str(v) for v in row) + "\n")
+
+    # ---- veg param: one grass tile per cell, Cv=0.7, 2 root zones ----
+    with open(os.path.join(workdir, "vegparam.txt"), "w") as f:
+        for ci in range(n_cell):
+            f.write(f"{ci + 1} 1\n")
+            # PCIC tile line: class Cv (depth fract)*RZ bandIndex
+            # (read_vegparam.c:185-186)
+            f.write("1 0.70 0.30 0.60 0.70 0.40 0\n")
+
+    # ---- forcing files ----
+    forc = synth_forcing(n_rec, n_cell, seed)
+    for ci in range(n_cell):
+        path = os.path.join(workdir, "forcing",
+                            f"full_data_{lats[ci]:.4f}_{lons[ci]:.4f}")
+        cols = np.stack([forc[k][:, ci] for k in FORCE_TYPES], 1)
+        np.savetxt(path, cols, fmt="%.4f")
+
+    # ---- global parameter file ----
+    y0, m0, d0 = start
+    end = _add_days(y0, m0, d0, n_days - 1)
+    g = f"""
+NLAYER 3
+NODES 3
+TIME_STEP 3
+SNOW_STEP 3
+STARTYEAR {y0}
+STARTMONTH {m0:02d}
+STARTDAY {d0:02d}
+STARTHOUR 00
+ENDYEAR {end[0]}
+ENDMONTH {end[1]:02d}
+ENDDAY {end[2]:02d}
+FULL_ENERGY TRUE
+FROZEN_SOIL FALSE
+QUICK_FLUX TRUE
+DIST_PRCP FALSE
+CORRPREC FALSE
+MIN_WIND_SPEED 0.1
+MAX_SNOW_TEMP 0.5
+MIN_RAIN_TEMP -0.5
+CONTINUEONERROR FALSE
+TFALLBACK TRUE
+COMPUTE_TREELINE FALSE
+JULY_TAVG_SUPPLIED TRUE
+EQUAL_AREA FALSE
+GRID_DECIMAL 4
+RESOLUTION 0.25
+GRND_FLUX_TYPE GF_410
+PLAPSE TRUE
+SNOW_ALBEDO USACE
+SNOW_DENSITY DENS_BRAS
+FORCING1 {workdir}/forcing/full_data_
+FORCE_FORMAT ASCII
+FORCE_DT 3
+N_TYPES 7
+FORCE_TYPE PREC
+FORCE_TYPE AIR_TEMP
+FORCE_TYPE WIND
+FORCE_TYPE SHORTWAVE
+FORCE_TYPE LONGWAVE
+FORCE_TYPE PRESSURE
+FORCE_TYPE VP
+FORCEYEAR {y0}
+FORCEMONTH {m0:02d}
+FORCEDAY {d0:02d}
+FORCEHOUR 00
+WIND_H 10.0
+MEASURE_H 2.0
+ALMA_INPUT FALSE
+SOIL {workdir}/soil.txt
+VEGPARAM {workdir}/vegparam.txt
+VEGPARAM_LAI FALSE
+VEGLIB {workdir}/veglib.txt
+ROOT_ZONES 2
+SNOW_BAND 1
+RESULT_DIR {workdir}/results
+OUT_STEP 0
+SKIPYEAR 0
+COMPRESS FALSE
+OUTPUT_FORMAT ASCII
+GLACIER_ID -1
+PARALLEL_THREADS 1
+"""
+# NOTE: the reference's N_OUTFILES custom-output path is unusable here:
+# parse_output_info() reallocates out_data_files through a BY-VALUE pointer
+# (parse_output_info.c:63-67), so vicNl.c:139's pointer dangles — a genuine
+# upstream use-after-free. We rely on the default output composition
+# (set_output_defaults.c:108-165) instead.
+    with open(os.path.join(workdir, "global.txt"), "w") as f:
+        f.write(g)
+    return forc, lats, lons
+
+
+def _add_days(y, m, d, n):
+    import datetime
+    t = datetime.date(y, m, d) + datetime.timedelta(days=n)
+    return t.year, t.month, t.day
+
+
+def run_reference(workdir, binary, threads):
+    gp_path = os.path.join(workdir, "global.txt")
+    txt = re.sub(r"PARALLEL_THREADS \d+", f"PARALLEL_THREADS {threads}",
+                 open(gp_path).read())
+    run_path = os.path.join(workdir, f"global_t{threads}.txt")
+    open(run_path, "w").write(txt)
+    t0 = time.perf_counter()
+    proc = subprocess.run([binary, "-g", run_path], capture_output=True,
+                          text=True, timeout=3600)
+    wall = time.perf_counter() - t0
+    if proc.returncode != 0:
+        print(proc.stdout[-3000:])
+        print(proc.stderr[-3000:])
+        raise RuntimeError(f"reference binary failed rc={proc.returncode}")
+    m = re.search(r"Model execution time \((serial|parallel)\): ([0-9.]+)",
+                  proc.stderr + proc.stdout)
+    model_time = float(m.group(2)) if m else wall
+    return model_time, wall, proc.stderr
+
+
+def run_vic_tpu(workdir, platform="cpu"):
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    from vic_tpu.config import parse_global_param_file
+    from vic_tpu.driver import run_simulation
+
+    gp = parse_global_param_file(os.path.join(workdir, "global.txt"))
+    gp.save_state = ""   # vic-tpu state saved via its own API below
+    res = run_simulation(gp, write_output=False, progress=False)
+    return gp, res
+
+
+# default full-energy fluxes file composition (set_output_defaults.c:108-140)
+FLUX_COLS = ["OUT_PREC", "OUT_EVAP", "OUT_RUNOFF", "OUT_BASEFLOW",
+             "OUT_WDEW"] + ["OUT_SOIL_LIQ"] * NL + [
+    "OUT_RAD_TEMP", "OUT_NET_SHORT", "OUT_R_NET", "OUT_LATENT",
+    "OUT_EVAP_CANOP", "OUT_TRANSP_VEG", "OUT_EVAP_BARE", "OUT_SUB_CANOP",
+    "OUT_SUB_SNOW", "OUT_SENSIBLE", "OUT_GRND_FLUX", "OUT_DELTAH",
+    "OUT_FUSION", "OUT_AERO_RESIST", "OUT_SURF_TEMP", "OUT_ALBEDO",
+    "OUT_REL_HUMID", "OUT_IN_LONG", "OUT_AIR_TEMP", "OUT_WIND"]
+# snow file composition (set_output_defaults.c:147-165)
+SNOW_COLS = ["OUT_SWE", "OUT_SNOW_DEPTH", "OUT_SNOW_CANOPY",
+             "OUT_SNOW_COVER", "OUT_ADVECTION", "OUT_DELTACC",
+             "OUT_SNOW_FLUX", "OUT_RFRZ_ENERGY", "OUT_MELT_ENERGY",
+             "OUT_ADV_SENS", "OUT_LATENT_SUB", "OUT_SNOW_SURF_TEMP",
+             "OUT_SNOW_PACK_TEMP", "OUT_SNOW_MELT"]
+# variables compared (exist on both sides)
+COMPARE = ["OUT_PREC", "OUT_EVAP", "OUT_RUNOFF", "OUT_BASEFLOW", "OUT_WDEW",
+           "OUT_SOIL_LIQ", "OUT_NET_SHORT", "OUT_LATENT", "OUT_SENSIBLE",
+           "OUT_GRND_FLUX", "OUT_SURF_TEMP", "OUT_ALBEDO", "OUT_AIR_TEMP",
+           "OUT_SWE", "OUT_SNOW_DEPTH", "OUT_SNOW_MELT"]
+
+
+def compare_fluxes(workdir, gp, res, lats, lons):
+    """Time-series parity: reference per-cell ASCII fluxes vs vic-tpu
+    aggregated outputs (the comparison role of
+    tools/test script/vic_output_compare_netcdf_universal.py)."""
+    ref = {}
+    for ci, (la, lo) in enumerate(zip(lats, lons)):
+        for prefix, cols in (("fluxes", FLUX_COLS), ("snow", SNOW_COLS)):
+            path = os.path.join(workdir, "results",
+                                f"{prefix}_{la:.4f}_{lo:.4f}")
+            table = np.loadtxt(path)
+            names = []
+            for name in cols:   # expand repeated names into indexed lists
+                ref.setdefault(name, {}).setdefault(ci, [])
+            k = 4   # year month day hour
+            for name in cols:
+                ref[name][ci].append(table[:, k])
+                k += 1
+    rows = []
+    for name in COMPARE:
+        a = np.stack([np.stack(ref[name][ci], -1)
+                      for ci in range(len(lats))], 1)   # [t, cell, width]
+        b = np.asarray(res.outputs[name], float)
+        if name == "OUT_SNOW_MELT":
+            # reference put_data.c:919 multiplies snow.melt (already mm,
+            # solve_snow.c 2007-Jul-03 note) by 1000 again — compare against
+            # the corrected value
+            a = a / 1000.0
+        if b.ndim == 2:
+            b = b[..., None]
+        n = min(len(a), len(b))
+        a, b = a[:n], b[:n]
+        diff = np.abs(a - b)
+        denom = np.maximum(np.abs(a), 1.0)
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1] \
+            if a.std() > 0 and b.std() > 0 else 1.0
+        rows.append((name, float(diff.max()), float((diff / denom).max()),
+                     float(np.abs(a).mean()), float(np.abs(b).mean()),
+                     float(corr)))
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cells", type=int, default=32)
+    ap.add_argument("--days", type=int, default=365)
+    ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--binary", default="/tmp/vicbuild/vicNl")
+    ap.add_argument("--workdir", default="/tmp/oracle")
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform for the vic-tpu run (cpu|axon)")
+    ap.add_argument("--skip-parity", action="store_true")
+    args = ap.parse_args()
+
+    print(f"generating inputs: {args.cells} cells x {args.days} days")
+    _, lats, lons = write_inputs(args.workdir, args.cells, args.days)
+
+    cs = args.cells * args.days * STEPS_PER_DAY
+    for threads in sorted({1, args.threads}):
+        mt, wall, _ = run_reference(args.workdir, args.binary, threads)
+        print(f"reference C binary (threads={threads}): model {mt:.2f}s "
+              f"(wall {wall:.2f}s) -> {cs / mt:,.0f} cell-steps/s")
+
+    t0 = time.perf_counter()
+    gp, res = run_vic_tpu(args.workdir, args.platform)
+    print(f"vic-tpu ({args.platform}): {res.elapsed_s:.2f}s scan "
+          f"({time.perf_counter() - t0:.1f}s total with ingest/compile) -> "
+          f"{cs / res.elapsed_s:,.0f} cell-steps/s")
+
+    if not args.skip_parity:
+        rows = compare_fluxes(args.workdir, gp, res, lats, lons)
+        print("\nflux time-series parity (reference vs vic-tpu):")
+        print(f"{'var':16s} {'max abs diff':>13s} {'max rel diff':>13s} "
+              f"{'|ref| mean':>11s} {'|tpu| mean':>11s} {'corr':>7s}")
+        for name, mad, mrd, am, bm, corr in rows:
+            print(f"{name:16s} {mad:13.4f} {mrd:13.4%} {am:11.3f} "
+                  f"{bm:11.3f} {corr:7.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -149,9 +149,9 @@ def build_model_forcing(supplied: Dict[str, np.ndarray], gp, domain,
 
     # ALMA_INPUT unit conversions (initialize_atmos.c:255-300): precip rates
     # mm/s -> mm/step, temperatures K -> C, pressure already Pa
+    supplied = dict(supplied)
     if gp.alma_input:
         dt_s = gp.dt * 3600.0
-        supplied = dict(supplied)
         for k in ("PREC", "RAINF", "SNOWF", "CRAINF", "CSNOWF", "LSRAINF",
                   "LSSNOWF"):
             if have(k):
@@ -159,6 +159,12 @@ def build_model_forcing(supplied: Dict[str, np.ndarray], gp, domain,
         for k in ("AIR_TEMP", "TMAX", "TMIN"):
             if have(k):
                 supplied[k] = supplied[k] - 273.15
+    else:
+        # VIC-convention forcings supply pressures in kPa
+        # (initialize_atmos.c:287-299 kPa2Pa)
+        for k in ("PRESSURE", "VP"):
+            if have(k):
+                supplied[k] = supplied[k] * 1000.0
 
     # --- pattern A: AIR_TEMP + PREC at the model step ---------------------
     if have("AIR_TEMP") and have("PREC"):
@@ -175,10 +181,16 @@ def build_model_forcing(supplied: Dict[str, np.ndarray], gp, domain,
                 / 0.62196351
         else:
             vp = svp_mtclim(air_temp) * 0.7
-        pressure, density = pressure_density(
-            air_temp, elev, gp.plapse,
-            supplied.get("DENSITY", [None])[:n_rec] if have("DENSITY")
-            else None)
+        if have("PRESSURE"):
+            # supplied pressure (Pa after unit conversion above); density
+            # follows the reference's rho = 3.486 p[kPa]/(275+T)
+            pressure = supplied["PRESSURE"][:n_rec]
+            density = 0.003486 * pressure / (275.0 + air_temp)
+        else:
+            pressure, density = pressure_density(
+                air_temp, elev, gp.plapse,
+                supplied.get("DENSITY", [None])[:n_rec] if have("DENSITY")
+                else None)
         if have("SHORTWAVE"):
             sw = supplied["SHORTWAVE"][:n_rec]
         else:

@@ -864,15 +864,18 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             "OUT_NET_SHORT": agg(net_short_bare + net_short_snow * coverage),
             "OUT_NET_LONG": agg(eb.net_long_bare
                                 + sm.terms.net_long * coverage),
-            "OUT_LATENT": agg(eb.latent_heat
-                              + (sm.terms.latent) * coverage),
-            "OUT_LATENT_SUB": agg(eb.latent_heat_sub
-                                  + sm.terms.latent_sub * coverage),
-            "OUT_SENSIBLE": agg(eb.sensible_heat
-                                + sm.terms.sensible * coverage),
-            "OUT_GRND_FLUX": agg(eb.grnd_flux),
-            "OUT_DELTAH": agg(eb.delta_h),
-            "OUT_FUSION": agg(eb.fusion),
+            # energy fluxes are NEGATED at output — the reference reports
+            # them positive-upward while the internal convention is
+            # positive-toward-surface (put_data.c:1086-1102)
+            "OUT_LATENT": -agg(eb.latent_heat
+                               + (sm.terms.latent) * coverage),
+            "OUT_LATENT_SUB": -agg(eb.latent_heat_sub
+                                   + sm.terms.latent_sub * coverage),
+            "OUT_SENSIBLE": -agg(eb.sensible_heat
+                                 + sm.terms.sensible * coverage),
+            "OUT_GRND_FLUX": -agg(eb.grnd_flux),
+            "OUT_DELTAH": -agg(eb.delta_h),
+            "OUT_FUSION": -agg(eb.fusion),
             "OUT_SNOW_FLUX": agg(sm.terms.grnd_flux * coverage),
             "OUT_ADVECTION": agg(sm.terms.advection * coverage),
             "OUT_DELTACC": agg(sm.terms.delta_cc * coverage),
@@ -936,9 +939,9 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                                                        * 1000.0)
             outputs["OUT_SNOW_COVER_BAND"] = band_agg(coverage)
             outputs["OUT_ALBEDO_BAND"] = band_agg(albedo_under)
-            outputs["OUT_LATENT_BAND"] = band_agg(
+            outputs["OUT_LATENT_BAND"] = -band_agg(
                 eb.latent_heat + sm.terms.latent * coverage)
-            outputs["OUT_SENSIBLE_BAND"] = band_agg(
+            outputs["OUT_SENSIBLE_BAND"] = -band_agg(
                 eb.sensible_heat + sm.terms.sensible * coverage)
             outputs["OUT_NET_SHORT_BAND"] = band_agg(
                 net_short_bare + net_short_snow * coverage)
