@@ -84,6 +84,38 @@ class TestGlacierMode:
             lambda s, f: run(s, f, params, gp))(state, stack)
         assert bool(jnp.isfinite(outs["OUT_GLAC_MELT"]).all())
         assert bool(jnp.isfinite(outs["OUT_GLAC_OUTFLOW"]).all())
+        assert bool(jnp.isfinite(outs["OUT_GLAC_ACCUM"]).all())
+        assert bool(jnp.isfinite(outs["OUT_GLAC_IMBAL"]).all())
+
+    def test_firn_to_ice_conversion(self):
+        """Dense pack snow on a glacier lane converts to ice
+        (snow_melt_glac.c:110-131) and leaves the snowpack water budget."""
+        from vic_tpu.physics.snow import snow_melt
+        import vic_tpu.constants as c
+
+        two = lambda v: jnp.full((2,), v)
+        is_glacier = jnp.array([True, False])
+        res = snow_melt(
+            swq=two(2.0), surf_temp=two(-2.0), pack_temp=two(-2.0),
+            surf_water=two(0.0), pack_water=two(0.0),
+            snow_depth=two(4.0), snow_density=two(600.0),
+            coldcontent=two(0.0), rainfall_mm=two(0.0), snowfall_mm=two(0.0),
+            air_temp=two(-5.0), tcanopy=two(-5.0), tgrnd=two(0.0),
+            wind=two(2.0), vp_air=two(300.0), vpd=two(100.0),
+            air_dens=two(1.2), pressure=two(95000.0),
+            longwave_in=two(220.0), net_short=two(30.0), lv=two(2.501e6),
+            ra=two(100.0), displacement=two(0.0), z_ref=two(2.0),
+            roughness=two(0.01), dt_sec=86400.0,
+            is_glacier=is_glacier)
+        firn = np.asarray(res.firn_to_ice)
+        # linear-profile firn depth: zco = 480*(4/2)/250 = 3.84 m < depth
+        # -> firn = (850+830)/2000 * (4-3.84) = 0.1344 m
+        assert firn[0] == pytest.approx(0.1344, rel=1e-3)
+        assert firn[1] == 0.0
+        # firn mass leaves the pack: glacier lane ends lighter by exactly
+        # the firn amount relative to the non-glacier lane
+        swq = np.asarray(res.swq)
+        assert swq[1] - swq[0] == pytest.approx(firn[0], rel=1e-5)
 
 
 class TestBandOutputs:

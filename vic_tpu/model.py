@@ -347,7 +347,8 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 roughness=aero.roughness.snow_covered,
                 dt_sec=dt_sec, max_iter=gp.brent_maxiter,
                 tfallback=gp.tfallback, blowing_flux=blow_flux,
-                active_mask=jnp.logical_and(snow_present, p.mask))
+                active_mask=jnp.logical_and(snow_present, p.mask),
+                is_glacier=glacier)
 
             # merge: lanes with snow take the snow result, others keep zeros
             S = lambda new, old: jnp.where(snow_present, new, old)
@@ -359,6 +360,10 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             melt_out = jnp.where(snow_present, sm.melt, 0.0)
             cold_content = S(sm.cold_content, 0.0 * state.cold_content)
             vapor_flux = jnp.where(snow_present, sm.vapor_flux, 0.0)
+            # firn densification: pack snow leaving the water column as
+            # glacier ice (snow_melt_glac.c:110-131, glacier->accumulation)
+            glac_firn_mm = jnp.where(jnp.logical_and(glacier, snow_present),
+                                     sm.firn_to_ice, 0.0) * 1000.0
 
             # ---- glacier lane: bare-ice ablation once snow is gone ---------
             # (surface_fluxes_glac.c:311 solve_glacier on snow-free ice)
@@ -482,6 +487,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 melt_out=melt_out, cold_content=cold_content,
                 vapor_flux=vapor_flux, glac=glac, on_ice=on_ice,
                 glac_melt_mm=glac_melt_mm, glac_surf_temp=glac_surf_temp,
+                glac_firn_mm=glac_firn_mm,
                 glac_inflow=glac_inflow, kfac=kfac,
                 glac_outflow=glac_outflow,
                 glac_water_storage=glac_water_storage,
@@ -545,6 +551,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
         cold_content = r["cold_content"]; vapor_flux = r["vapor_flux"]
         glac = r["glac"]; on_ice = r["on_ice"]
         glac_melt_mm = r["glac_melt_mm"]; glac_surf_temp = r["glac_surf_temp"]
+        glac_firn_mm = r["glac_firn_mm"]
         glac_inflow = r["glac_inflow"]; kfac = r["kfac"]
         glac_outflow = r["glac_outflow"]
         glac_water_storage = r["glac_water_storage"]
@@ -782,7 +789,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             + swq * 1000.0 \
             + snow_canopy_new * 1000.0 + glac_water_storage
         influx = out_prec + jnp.where(glacier, glac_melt_mm, 0.0) \
-            + recharge_lane_mm
+            + recharge_lane_mm - glac_firn_mm
         wb_err = (storage1 - storage0) - (
             influx - total_evap - (runoff_c + glac_outflow) - baseflow_c)
 
@@ -919,6 +926,13 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             "OUT_GLAC_OUTFLOW": agg(glac_outflow),
             "OUT_GLAC_SURF_TEMP": agg(glac_surf_temp),
             "OUT_GLAC_MBAL": agg(state.glac_cum_mass_balance * 1000.0),
+            # firn→ice conversion and the ice mass budget it feeds
+            # (put_data.c:930-932; ice_mass_balance defined at
+            # surface_fluxes_glac.c:479)
+            "OUT_GLAC_ACCUM": agg(glac_firn_mm),
+            "OUT_GLAC_IMBAL": agg(
+                glac_firn_mm - glac_melt_mm
+                - jnp.where(on_ice, glac.vapor_flux, 0.0) * 1000.0),
             "OUT_GLAC_OUTFLOW_COEF": agg(kfac),
         }
 

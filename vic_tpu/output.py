@@ -345,6 +345,11 @@ OUTVAR_META: Dict[str, OutVarMeta] = {
     "OUT_GLAC_OUTFLOW_COEF": _M("1", "GLAC_OUTFLOW_COEF", "",
                                 "Glacier outflow coefficient",
                                 "time: point area: mean", AGG_END),
+    "OUT_GLAC_ACCUM": _M("mm", "GLAC_ACCUM", "",
+                         "Glacier ice accumulation from firn-to-ice conversion",
+                         "time: mean area: mean", AGG_SUM),
+    "OUT_GLAC_IMBAL": _M("mm", "GLAC_IMBAL", "", "Glacier ice mass balance",
+                         "time: mean area: mean", AGG_SUM),
 }
 
 # Default file compositions (set_output_defaults.c:8: fluxes + snow files)

@@ -258,6 +258,7 @@ class SnowMeltResult(NamedTuple):
     cold_content: jnp.ndarray  # J/m^2 of surface layer
     qnet: jnp.ndarray
     surf_temp_fbflag: jnp.ndarray
+    firn_to_ice: jnp.ndarray   # m of pack converted to glacier ice this step
     terms: SnowEBTerms
 
 
@@ -267,10 +268,16 @@ def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
               air_temp, tcanopy, tgrnd, wind, vp_air, vpd, air_dens, pressure,
               longwave_in, net_short, lv, ra, displacement, z_ref, roughness,
               dt_sec, max_iter: int = 30, tfallback: bool = True,
-              blowing_flux=0.0, active_mask=None) -> SnowMeltResult:
+              blowing_flux=0.0, active_mask=None,
+              is_glacier=None) -> SnowMeltResult:
     """Batched two-layer snowpack mass/energy update (snow_melt.c:119-560).
 
     All snow states in m of water equivalent; precip inputs in mm/step.
+    `is_glacier` lanes additionally run the snow-on-glacier variant's
+    firn densification (snow_melt_glac.c:110-131): pack snow below the
+    depth where a linear density profile reaches CUTOFF_DENSITY converts
+    to glacier ice (reported as `firn_to_ice`, the reference's
+    glacier->accumulation).
     """
     snowfall = snowfall_mm / 1000.0
     rainfall = rainfall_mm / 1000.0
@@ -304,10 +311,34 @@ def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
     surf_temp = jnp.where(surface_swq > 0.0,
                           surface_cc / (c.CH_ICE * jnp.maximum(surface_swq,
                                                                c.SMALL)), 0.0)
+
+    # firn → glacier ice on glacier lanes (snow_melt_glac.c:110-131): with a
+    # linear density profile from SNOW_SURF_DENSITY at the surface to
+    # 2*rho_mean-SNOW_SURF_DENSITY at the bottom, everything below the depth
+    # zco where the profile crosses CUTOFF_DENSITY leaves the pack as ice.
+    # The pack cold content stays behind (reference quirk), except when the
+    # whole pack converts.
+    if is_glacier is not None:
+        dens_excess = snow_density - c.SNOW_SURF_DENSITY
+        zco = ((c.CUTOFF_DENSITY - c.SNOW_SURF_DENSITY) * (snow_depth / 2.0)
+               / jnp.maximum(dens_excess, c.SMALL))
+        density_zsnow = c.SNOW_SURF_DENSITY + 2.0 * dens_excess
+        firn_raw = ((density_zsnow + c.CUTOFF_DENSITY) / (2.0 * c.RHO_W)
+                    * (snow_depth - zco))
+        eligible = (is_glacier & (pack_swq > 0.0) & (dens_excess > 0.0)
+                    & (zco < snow_depth))
+        firn_to_ice = jnp.where(eligible,
+                                jnp.minimum(firn_raw, pack_swq), 0.0)
+        pack_swq = pack_swq - firn_to_ice
+        full_conv = jnp.logical_and(eligible, pack_swq <= 0.0)
+        pack_cc = jnp.where(full_conv, 0.0, pack_cc)
+    else:
+        firn_to_ice = jnp.zeros_like(pack_swq)
+
     pack_temp = jnp.where(pack_swq > 0.0,
                           pack_cc / (c.CH_ICE * jnp.maximum(pack_swq, c.SMALL)),
                           0.0)
-    ice = ice + snowfall
+    ice = ice + snowfall - firn_to_ice
     surf_water = surf_water + rainfall
 
     term_kwargs = dict(
@@ -493,4 +524,4 @@ def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
         surf_water=surf_water, pack_water=pack_water,
         melt=melt_out * 1000.0, vapor_flux=-vapor_flux,
         cold_content=cold_content, qnet=terms.rest,
-        surf_temp_fbflag=fbflag, terms=terms)
+        surf_temp_fbflag=fbflag, firn_to_ice=firn_to_ice, terms=terms)
