@@ -189,3 +189,30 @@ def test_spatial_frost_smooths_ice():
     # spread averages frozen and unfrozen subareas -> less ice than sharp
     assert float(ice_spread.sum()) < float(ice_sharp.sum())
     assert float(ice_spread.sum()) > 0.0
+
+
+def test_find_zero_fronts():
+    """Front depths are linear zero-crossing interpolations, scanned from the
+    bottom node pair upward (soil_conduction.c:775 find_0_degree_fronts)."""
+    from vic_tpu.physics.frozen_soil import find_zero_fronts
+    # profile: +1 C at surface, -1 C at 1 m, back to +1 C at 3 m
+    t = jnp.asarray([[1.0, -1.0, 1.0, 2.0]])
+    z = jnp.asarray([[0.0, 1.0, 2.0, 3.0]])
+    tdepth, fdepth = find_zero_fronts(t, z)
+    # thawing front (T>0 above, <=0 below) between nodes 0-1 at 0.5 m
+    assert float(tdepth[0, 0]) == pytest.approx(0.5, abs=1e-6)
+    # freezing front (T<0 above, >=0 below) between nodes 1-2 at 1.5 m
+    assert float(fdepth[0, 0]) == pytest.approx(1.5, abs=1e-6)
+    # no second fronts
+    assert float(tdepth[0, 1]) == 0.0 and float(fdepth[0, 1]) == 0.0
+
+
+def test_find_zero_fronts_order_and_cap():
+    """Multiple crossings are collected bottom-up, capped at MAX_FRONTS=3."""
+    from vic_tpu.physics.frozen_soil import find_zero_fronts
+    t = jnp.asarray([[1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0]])
+    z = jnp.asarray([[0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]])
+    tdepth, fdepth = find_zero_fronts(t, z)
+    # thaw crossings at 0.5, 2.5, 4.5, 6.5 -> bottom-up keeps 6.5, 4.5, 2.5
+    assert [round(float(x), 3) for x in tdepth[0]] == [6.5, 4.5, 2.5]
+    assert [round(float(x), 3) for x in fdepth[0]] == [7.5, 5.5, 3.5]

@@ -725,6 +725,60 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 "OUT_LAKE_SURF_TEMP": lres.surf_temp,
                 "OUT_LAKE_EVAP": lake_evap_mm,
                 "OUT_LAKE_RCHRG": lres.recharge_m3 * to_mm,
+                # extended lake diagnostics (put_data.c lake section)
+                "OUT_LAKE_AREA_FRAC": lres.sarea / cell_area,
+                # lake ice expressed as the reference does: per-ice-area
+                # water equivalent scaled by ice/water density
+                # (put_data.c OUT_LAKE_ICE formula)
+                "OUT_LAKE_ICE": jnp.where(
+                    lres.state.ice_area > 0.0,
+                    lres.state.ice_water_eq
+                    / jnp.maximum(lres.state.ice_area, 1.0)
+                    * c.ICE_DENSITY / c.RHO_W, 0.0),
+                # no separate ice-slab temperature state: the lake surface
+                # temperature stands in when ice is present (deviation from
+                # lake_var.tempi, documented)
+                "OUT_LAKE_ICE_TEMP": jnp.where(
+                    lres.state.ice_area > 0.0,
+                    jnp.minimum(lres.surf_temp, 0.0), 0.0),
+                "OUT_LAKE_SWE": lres.state.swe,                    # m over ice
+                "OUT_LAKE_SWE_V": lres.state.swe
+                * jnp.maximum(lres.state.ice_area, 0.0),           # m3
+                "OUT_LAKE_DSWE_V": (lres.state.swe * lres.state.ice_area
+                                    - state.lake_swe * state.lake_ice_area),
+                "OUT_LAKE_DSWE": (lres.state.swe * lres.state.ice_area
+                                  - state.lake_swe * state.lake_ice_area)
+                * to_mm,
+                "OUT_LAKE_DSTOR_V": lres.state.volume - state.lake_volume,
+                "OUT_LAKE_DSTOR": (lres.state.volume - state.lake_volume)
+                * to_mm,
+                "OUT_LAKE_MOIST": lres.state.volume * to_mm,
+                "OUT_SURFSTOR": lres.state.volume * to_mm,
+                "OUT_DELSURFSTOR": (lres.state.volume - state.lake_volume)
+                * to_mm,
+                "OUT_LAKE_BF_IN_V": b_in,
+                "OUT_LAKE_BF_IN": b_in * to_mm,
+                "OUT_LAKE_BF_OUT_V": lres.baseflow_out_m3,
+                "OUT_LAKE_BF_OUT": lres.baseflow_out_m3 * to_mm,
+                # no channel-routing network in the standalone model:
+                # channel_in is identically 0 (lake_var.channel_in is only
+                # fed by external routing couplers)
+                "OUT_LAKE_CHAN_IN_V": jnp.zeros_like(b_in),
+                "OUT_LAKE_CHAN_IN": jnp.zeros_like(cell_runoff),
+                "OUT_LAKE_CHAN_OUT_V": lres.runoff_out_m3,
+                "OUT_LAKE_CHAN_OUT": lres.runoff_out_m3 * to_mm,
+                "OUT_LAKE_EVAP_V": lres.evap_m3,
+                "OUT_LAKE_PREC_V": forcing["prec"] / 1000.0 * lres.sarea,
+                "OUT_LAKE_RCHRG_V": lres.recharge_m3,
+                "OUT_LAKE_RO_IN_V": r_in,
+                "OUT_LAKE_RO_IN": r_in * to_mm,
+                # lake snow sublimation is folded into the lake evaporation
+                # term rather than tracked separately
+                "OUT_LAKE_VAPFLX_V": jnp.zeros_like(b_in),
+                "OUT_LAKE_VAPFLX": jnp.zeros_like(cell_runoff),
+                # soil node temperatures under the wetland tile
+                # (put_data.c:368: lake_var energy.T overridden by wetland)
+                "OUT_SOIL_TNODE_WL": take_wl(node_temp),
             }
             lake_state = dict(
                 lake_volume=lres.state.volume, lake_temp=lres.state.temp,
@@ -819,6 +873,48 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
 
         rad_temp = agg((ts + c.KELVIN) ** 4) ** 0.25
 
+        # --- derived quantities for the extended put_data variable set ------
+        zero_c = jnp.zeros_like(cell_runoff)
+        # sublimation split: blowing vs pack-surface portion
+        # (put_data.c:799-801 OUT_SUB_SURFACE = snow.surface_flux)
+        sub_blow_lane = ((-blow_flux * dt_sec if gp.blowing else 0.0 * tair)
+                         * jnp.where(snow_present, 1.0, 0.0))
+        # aerodynamic conductances: cond1 = understory/surface exchange at the
+        # resistance actually used by the EB, cond2 = overstory exchange
+        # (put_data.c:836-860; resistances re-derived as reciprocals at
+        # :551-564 — here per step rather than from the aggregate)
+        ra_used = jnp.where(
+            snow_present, aero.resist.snow_covered,
+            jnp.where(on_ice, aero.resist.glacier, aero.resist.snow_free))
+        cond1 = 1.0 / jnp.maximum(ra_used, c.SMALL)
+        cond2 = jnp.where(p.overstory,
+                          1.0 / jnp.maximum(aero.resist.canopy, c.SMALL), 0.0)
+        cond_eff = jnp.where(p.overstory, cond2, cond1)
+        agg_cond1 = agg(cond1)
+        agg_cond2 = agg(cond2)
+        agg_cond = agg(cond_eff)
+        recip = lambda x: jnp.where(x > c.SMALL, 1.0 / jnp.maximum(x, c.SMALL),
+                                    c.HUGE_RESIST)
+        # moisture storage deltas (put_data.c:574-600 save_data deltas)
+        delsoil = agg(dw(moist_wet_f.sum(-1), moist_dry_f.sum(-1))
+                      - dw(moist_w.sum(-1), moist_d.sum(-1)))
+        soil_moist_l = aggl(moist_f)
+        soil_liq_l = aggl(liq_f)
+        smliqfrac = soil_liq_l / jnp.maximum(soil_moist_l, c.SMALL)
+        # freezing/thawing front depths (soil_conduction.c:775
+        # find_0_degree_fronts); only meaningful with an active node profile
+        if frozen:
+            from .physics.frozen_soil import find_zero_fronts
+            tdep, fdep = find_zero_fronts(node_temp, geom.zsum[:, None, :])
+            tdepth_c = (tdep * w[..., None]).sum(-2) * 100.0   # cm
+            fdepth_c = (fdep * w[..., None]).sum(-2) * 100.0
+            soilt_fb = (prof.fbcount > 0).astype(ts.dtype) if fd_nodes \
+                else jnp.zeros_like(ts)
+        else:
+            tdepth_c = jnp.zeros(cell_runoff.shape + (3,), cell_runoff.dtype)
+            fdepth_c = tdepth_c
+            soilt_fb = jnp.zeros_like(ts)
+
         outputs = {
             # --- water states ---
             "OUT_SWE": agg((swq + snow_canopy_new) * 1000.0),
@@ -849,9 +945,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 dw(layer_evap.sum(-1), layer_evap_d.sum(-1)))),
             "OUT_SUB_SNOW": agg(snow_sub_mm),
             "OUT_SUB_CANOP": agg(canopy_sub_mm),
-            "OUT_SUB_BLOWING": agg(
-                (-blow_flux * dt_sec if gp.blowing else 0.0 * tair)
-                * jnp.where(snow_present, 1.0, 0.0)),
+            "OUT_SUB_BLOWING": agg(sub_blow_lane),
             "OUT_TFOL_FBFLAG": agg(tfol_fb.astype(ts.dtype)),
             "OUT_TCAN_FBFLAG": agg(tcanopy_fb.astype(ts.dtype)),
             "OUT_TCANOPY": agg(tcanopy),
@@ -934,7 +1028,63 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 glac_firn_mm - glac_melt_mm
                 - jnp.where(on_ice, glac.vapor_flux, 0.0) * 1000.0),
             "OUT_GLAC_OUTFLOW_COEF": agg(kfac),
+            "OUT_GLAC_DELTACC": agg(jnp.where(on_ice, glac.terms.delta_cc,
+                                              0.0)),
+            "OUT_GLAC_FLUX": agg(jnp.where(on_ice, glac.terms.grnd_flux,
+                                           0.0)),
+            "OUT_GLAC_MELT_ENERGY": agg(jnp.where(
+                on_ice, glac.terms.melt_energy, 0.0)),
+            "OUT_GLAC_TSURF_FBFLAG": agg(jnp.where(
+                on_ice, glac.fbflag, False).astype(ts.dtype)),
+            # --- extended put_data set (put_data.c:574-600, 836-860) ---
+            "OUT_QAIR": agg(c.EPS_RATIO * vp_air / pressure),
+            "OUT_SOIL_LIQ_TOT": agg(liq_f.sum(-1)),
+            "OUT_SOIL_ICE_TOT": agg(ice_f.sum(-1)),
+            "OUT_SMLIQFRAC": smliqfrac,
+            "OUT_SMFROZFRAC": 1.0 - smliqfrac,
+            # static soil echoes (put_data.c:517-522)
+            "OUT_POROSITY": jnp.asarray(p.max_moist)
+            / (jnp.asarray(p.depth) * 1000.0),
+            "OUT_SOIL_DEPTH": jnp.asarray(p.depth),
+            # storage-change diagnostics (put_data.c:574-600)
+            "OUT_DELSOILMOIST": delsoil,
+            "OUT_DELSWE": agg((swq + snow_canopy_new - state.swq
+                               - state.snow_canopy) * 1000.0),
+            "OUT_DELINTERCEPT": agg(wdew_c - dw(wdew_w, wdew_d)),
+            # refreeze flux in mm (put_data.c:591: RFRZ_ENERGY/Lf*dt)
+            "OUT_REFREEZE": agg(jnp.maximum(sm.terms.refreeze_energy, 0.0)
+                                * coverage) / c.LF * dt_sec,
+            "OUT_SUB_SURFACE": agg(snow_sub_mm - sub_blow_lane),
+            # advected sensible heat to exposed patches: the partial-cover
+            # advection term is folded into the pack advection here
+            # (advected_sensible_heat.c) — reported as 0 separately
+            "OUT_ADV_SENS": zero_c,
+            "OUT_AERO_COND": agg_cond,
+            "OUT_AERO_COND1": agg_cond1,
+            "OUT_AERO_COND2": agg_cond2,
+            "OUT_AERO_RESIST1": recip(agg_cond1),
+            "OUT_AERO_RESIST2": recip(agg_cond2),
+            "OUT_SOILT_FBFLAG": agg(soilt_fb)[..., None]
+            * jnp.ones_like(node_temp[:, 0, :]),
+            "OUT_FDEPTH": fdepth_c,
+            "OUT_TDEPTH": tdepth_c,
+            # EXCESS_ICE subsidence — compiled out upstream
+            # (user_def.h EXCESS_ICE, full_energy.c:503-707)
+            "OUT_SUBSIDENCE": zero_c,
+            "OUT_SURF_FROST_FRAC": agg(
+                (ice_f[..., 0] > 0.0).astype(ts.dtype)),
+            "OUT_SURFSTOR": zero_c,
+            "OUT_DELSURFSTOR": zero_c,
+            # registered upstream but never filled by put_data.c
+            # (output_list_utils.c:230 only) — emitted as 0 for grammar parity
+            "OUT_SURF_COND": zero_c,
         }
+        if geom is not None:
+            # static node-depth echo (put_data.c:522)
+            outputs["OUT_ZSUM_NODE"] = jnp.broadcast_to(
+                geom.zsum, (p.n_cell, geom.zsum.shape[-1]))
+        if "tskc" in forcing:
+            outputs["OUT_TSKC"] = agg(B(forcing["tskc"]))
 
         # ---- band-resolved outputs (put_data.c band accumulation: within a
         # band each veg tile's Cv sums to 1, so sum(Cv*x) = band average) ----
@@ -967,6 +1117,41 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             outputs["OUT_AREA_BAND"] = band_agg(jnp.ones_like(coverage))
             outputs["OUT_ELEV_BAND"] = band_agg(B(p.elevation) * 0.0
                                                 + p.band_elev)
+            # extended band-resolved energy/glacier set (put_data.c
+            # collect_eb_terms band accumulation, vicNl_def.h:548-560)
+            outputs["OUT_ADVECTION_BAND"] = band_agg(
+                sm.terms.advection * coverage)
+            outputs["OUT_ADV_SENS_BAND"] = band_agg(0.0 * coverage)
+            outputs["OUT_DELTACC_BAND"] = band_agg(
+                sm.terms.delta_cc * coverage)
+            outputs["OUT_GRND_FLUX_BAND"] = -band_agg(eb.grnd_flux)
+            outputs["OUT_IN_LONG_BAND"] = band_agg(lw_in)
+            outputs["OUT_LATENT_SUB_BAND"] = -band_agg(
+                eb.latent_heat_sub + sm.terms.latent_sub * coverage)
+            outputs["OUT_MELT_ENERGY_BAND"] = band_agg(jnp.minimum(
+                sm.terms.refreeze_energy, 0.0) * coverage)
+            outputs["OUT_RFRZ_ENERGY_BAND"] = band_agg(jnp.maximum(
+                sm.terms.refreeze_energy, 0.0) * coverage)
+            outputs["OUT_SNOW_FLUX_BAND"] = band_agg(
+                sm.terms.grnd_flux * coverage)
+            outputs["OUT_SNOW_PACKT_BAND"] = band_agg(pack_temp)
+            outputs["OUT_SNOW_SURFT_BAND"] = band_agg(surf_temp)
+            outputs["OUT_GLAC_ACCUM_BAND"] = band_agg(glac_firn_mm)
+            outputs["OUT_GLAC_AREA_BAND"] = band_agg(
+                jnp.where(glacier, 1.0, 0.0))
+            outputs["OUT_GLAC_IMBAL_BAND"] = band_agg(
+                glac_firn_mm - glac_melt_mm
+                - jnp.where(on_ice, glac.vapor_flux, 0.0) * 1000.0)
+            outputs["OUT_GLAC_INFLOW_BAND"] = band_agg(glac_inflow)
+            outputs["OUT_GLAC_MBAL_BAND"] = band_agg(
+                state.glac_cum_mass_balance * 1000.0)
+            outputs["OUT_GLAC_OUTFLOW_BAND"] = band_agg(glac_outflow)
+            outputs["OUT_GLAC_SUB_BAND"] = band_agg(
+                jnp.where(on_ice, -glac.vapor_flux, 0.0) * 1000.0)
+            outputs["OUT_GLAC_DELTACC_BAND"] = band_agg(
+                jnp.where(on_ice, glac.terms.delta_cc, 0.0))
+            outputs["OUT_GLAC_FLUX_BAND"] = band_agg(
+                jnp.where(on_ice, glac.terms.grnd_flux, 0.0))
 
         # water-table positions (wrap_compute_zwt, compute_zwt.c)
         if zwt_curves is not None:

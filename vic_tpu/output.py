@@ -350,6 +350,231 @@ OUTVAR_META: Dict[str, OutVarMeta] = {
                          "time: mean area: mean", AGG_SUM),
     "OUT_GLAC_IMBAL": _M("mm", "GLAC_IMBAL", "", "Glacier ice mass balance",
                          "time: mean area: mean", AGG_SUM),
+    "OUT_GLAC_DELTACC": _M("W m-2", "GLAC_DELTACC", "",
+                           "Rate of change of glacier surface cold content",
+                           "time: mean area: mean", AGG_AVG),
+    "OUT_GLAC_FLUX": _M("W m-2", "GLAC_FLUX", "",
+                        "Energy flux through glacier surface layer",
+                        "time: mean area: mean", AGG_AVG),
+    "OUT_GLAC_MELT_ENERGY": _M("W m-2", "GLAC_MELT_ENERGY", "",
+                               "Energy used to thaw glacier ice",
+                               "time: mean area: mean", AGG_AVG),
+    "OUT_GLAC_TSURF_FBFLAG": _M("1", "GLAC_TSURF_FBFLAG", "",
+                                "Glacier surface temperature fallback flag",
+                                "time: sum area: mean", AGG_SUM),
+    # extended met / soil diagnostics (vicNl_def.h:351-564)
+    "OUT_QAIR": _M("kg kg-1", "QAIR", "specific_humidity",
+                   "Specific humidity", "time: mean area: mean", AGG_AVG),
+    "OUT_TSKC": _M("1", "TSKC", "cloud_area_fraction", "Cloud cover fraction",
+                   "time: mean area: mean", AGG_AVG),
+    "OUT_SOIL_LIQ_TOT": _M("mm", "SOIL_LIQ_TOT", "",
+                           "Total column liquid soil moisture",
+                           "time: point area: mean", AGG_END),
+    "OUT_SOIL_ICE_TOT": _M("mm", "SOIL_ICE_TOT", "",
+                           "Total column frozen soil moisture",
+                           "time: point area: mean", AGG_END),
+    "OUT_SMLIQFRAC": _M("1", "SMLIQFRAC", "",
+                        "Liquid fraction of soil moisture per layer",
+                        "time: point area: mean", AGG_END, dim="layer"),
+    "OUT_SMFROZFRAC": _M("1", "SMFROZFRAC", "",
+                         "Frozen fraction of soil moisture per layer",
+                         "time: point area: mean", AGG_END, dim="layer"),
+    "OUT_POROSITY": _M("1", "POROSITY", "soil_porosity",
+                       "Effective soil porosity per layer",
+                       "time: point area: mean", AGG_END, dim="layer"),
+    "OUT_SOIL_DEPTH": _M("m", "SOIL_DEPTH", "", "Soil layer thickness",
+                         "time: point area: mean", AGG_END, dim="layer"),
+    "OUT_DELSOILMOIST": _M("mm", "DELSOILMOIST", "",
+                           "Change in soil moisture",
+                           "time: sum area: mean", AGG_SUM),
+    "OUT_DELSWE": _M("mm", "DELSWE", "",
+                     "Change in snow water equivalent",
+                     "time: sum area: mean", AGG_SUM),
+    "OUT_DELINTERCEPT": _M("mm", "DELINTERCEPT", "",
+                           "Change in canopy interception storage",
+                           "time: sum area: mean", AGG_SUM),
+    "OUT_SURFSTOR": _M("mm", "SURFSTOR", "",
+                       "Surface liquid water storage (lake)",
+                       "time: point area: mean", AGG_END),
+    "OUT_DELSURFSTOR": _M("mm", "DELSURFSTOR", "",
+                          "Change in surface liquid water storage",
+                          "time: sum area: mean", AGG_SUM),
+    "OUT_REFREEZE": _M("mm", "REFREEZE", "",
+                       "Refreezing of water in the snowpack",
+                       "time: sum area: mean", AGG_SUM),
+    "OUT_SUB_SURFACE": _M("mm", "SUB_SURFACE", "",
+                          "Net sublimation from snow pack surface",
+                          "time: sum area: mean", AGG_SUM),
+    "OUT_ADV_SENS": _M("W m-2", "ADV_SENS", "",
+                       "Net sensible flux advected to snow pack",
+                       "time: mean area: mean", AGG_AVG),
+    "OUT_AERO_COND": _M("m s-1", "AERO_COND", "",
+                        "Scene aerodynamic conductance",
+                        "time: mean area: mean", AGG_AVG),
+    "OUT_AERO_COND1": _M("m s-1", "AERO_COND1", "",
+                         "Surface aerodynamic conductance",
+                         "time: mean area: mean", AGG_AVG),
+    "OUT_AERO_COND2": _M("m s-1", "AERO_COND2", "",
+                         "Overstory aerodynamic conductance",
+                         "time: mean area: mean", AGG_AVG),
+    "OUT_AERO_RESIST1": _M("s m-1", "AERO_RESIST1", "",
+                           "Surface aerodynamic resistance",
+                           "time: mean area: mean", AGG_AVG),
+    "OUT_AERO_RESIST2": _M("s m-1", "AERO_RESIST2", "",
+                           "Overstory aerodynamic resistance",
+                           "time: mean area: mean", AGG_AVG),
+    "OUT_SOILT_FBFLAG": _M("1", "SOILT_FBFLAG", "",
+                           "Soil node temperature fallback flag",
+                           "time: sum area: mean", AGG_SUM, dim="node"),
+    "OUT_FDEPTH": _M("cm", "FDEPTH", "", "Freezing front depth",
+                     "time: point area: mean", AGG_END, dim="front"),
+    "OUT_TDEPTH": _M("cm", "TDEPTH", "", "Thawing front depth",
+                     "time: point area: mean", AGG_END, dim="front"),
+    "OUT_SUBSIDENCE": _M("mm", "SUBSIDENCE", "",
+                         "Excess-ice subsidence (absent upstream: always 0)",
+                         "time: sum area: mean", AGG_SUM),
+    "OUT_SURF_FROST_FRAC": _M("1", "SURF_FROST_FRAC", "",
+                              "Fraction of surface area with frozen soil",
+                              "time: mean area: mean", AGG_AVG),
+    # band-resolved energy / glacier set
+    "OUT_ADVECTION_BAND": _M("W m-2", "ADVECTION_BAND", "",
+                             "Advected energy to snow pack",
+                             "time: mean area: mean", AGG_AVG, dim="band"),
+    "OUT_ADV_SENS_BAND": _M("W m-2", "ADV_SENS_BAND", "",
+                            "Advected sensible heat to snow pack",
+                            "time: mean area: mean", AGG_AVG, dim="band"),
+    "OUT_DELTACC_BAND": _M("W m-2", "DELTACC_BAND", "",
+                           "Rate of change of snow cold content",
+                           "time: mean area: mean", AGG_AVG, dim="band"),
+    "OUT_GRND_FLUX_BAND": _M("W m-2", "GRND_FLUX_BAND", "",
+                             "Ground heat flux", "time: mean area: mean",
+                             AGG_AVG, dim="band"),
+    "OUT_IN_LONG_BAND": _M("W m-2", "IN_LONG_BAND", "",
+                           "Incoming longwave at surface",
+                           "time: mean area: mean", AGG_AVG, dim="band"),
+    "OUT_LATENT_SUB_BAND": _M("W m-2", "LATENT_SUB_BAND", "",
+                              "Latent heat of sublimation",
+                              "time: mean area: mean", AGG_AVG, dim="band"),
+    "OUT_MELT_ENERGY_BAND": _M("W m-2", "MELT_ENERGY_BAND", "",
+                               "Energy of snow melt/thaw",
+                               "time: mean area: mean", AGG_AVG, dim="band"),
+    "OUT_RFRZ_ENERGY_BAND": _M("W m-2", "RFRZ_ENERGY_BAND", "",
+                               "Net refreeze energy in snowpack",
+                               "time: mean area: mean", AGG_AVG, dim="band"),
+    "OUT_SNOW_FLUX_BAND": _M("W m-2", "SNOW_FLUX_BAND", "",
+                             "Energy flux through snow pack",
+                             "time: mean area: mean", AGG_AVG, dim="band"),
+    "OUT_SNOW_PACKT_BAND": _M("degree_Celsius", "SNOW_PACKT_BAND", "",
+                              "Snow pack temperature",
+                              "time: point area: mean", AGG_AVG, dim="band"),
+    "OUT_SNOW_SURFT_BAND": _M("degree_Celsius", "SNOW_SURFT_BAND", "",
+                              "Snow surface temperature",
+                              "time: point area: mean", AGG_AVG, dim="band"),
+    "OUT_GLAC_ACCUM_BAND": _M("mm", "GLAC_ACCUM_BAND", "",
+                              "Glacier firn-to-ice accumulation",
+                              "time: mean area: mean", AGG_SUM, dim="band"),
+    "OUT_GLAC_AREA_BAND": _M("1", "GLAC_AREA_BAND", "",
+                             "Glacier surface area fraction",
+                             "time: point area: sum", AGG_END, dim="band"),
+    "OUT_GLAC_IMBAL_BAND": _M("mm", "GLAC_IMBAL_BAND", "",
+                              "Glacier ice mass balance",
+                              "time: mean area: mean", AGG_SUM, dim="band"),
+    "OUT_GLAC_INFLOW_BAND": _M("mm", "GLAC_INFLOW_BAND", "",
+                               "Glacier water inflow",
+                               "time: mean area: mean", AGG_SUM, dim="band"),
+    "OUT_GLAC_MBAL_BAND": _M("mm", "GLAC_MBAL_BAND", "",
+                             "Glacier mass balance",
+                             "time: point area: mean", AGG_END, dim="band"),
+    "OUT_GLAC_OUTFLOW_BAND": _M("mm", "GLAC_OUTFLOW_BAND", "",
+                                "Glacier water outflow",
+                                "time: mean area: mean", AGG_SUM, dim="band"),
+    "OUT_GLAC_SUB_BAND": _M("mm", "GLAC_SUB_BAND", "",
+                            "Net sublimation of glacier ice",
+                            "time: mean area: mean", AGG_SUM, dim="band"),
+    "OUT_GLAC_DELTACC_BAND": _M("W m-2", "GLAC_DELTACC_BAND", "",
+                                "Rate of change of glacier cold content",
+                                "time: mean area: mean", AGG_AVG, dim="band"),
+    "OUT_GLAC_FLUX_BAND": _M("W m-2", "GLAC_FLUX_BAND", "",
+                             "Energy flux through glacier surface layer",
+                             "time: mean area: mean", AGG_AVG, dim="band"),
+    # extended lake diagnostics (put_data.c lake section)
+    "OUT_LAKE_AREA_FRAC": _M("1", "LAKE_AREA_FRAC", "",
+                             "Lake area as fraction of grid cell",
+                             "time: point area: mean", AGG_END),
+    "OUT_LAKE_ICE": _M("mm", "LAKE_ICE", "", "Moisture stored as lake ice",
+                       "time: point area: mean", AGG_END),
+    "OUT_LAKE_ICE_TEMP": _M("degree_Celsius", "LAKE_ICE_TEMP", "",
+                            "Lake ice temperature",
+                            "time: point area: mean", AGG_END),
+    "OUT_LAKE_SWE": _M("m", "LAKE_SWE", "", "SWE on lake ice (per ice area)",
+                       "time: point area: mean", AGG_END),
+    "OUT_LAKE_SWE_V": _M("m3", "LAKE_SWE_V", "", "Volumetric SWE on lake ice",
+                         "time: point area: mean", AGG_END),
+    "OUT_LAKE_DSWE": _M("mm", "LAKE_DSWE", "",
+                        "Change in SWE on lake ice over grid cell",
+                        "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_DSWE_V": _M("m3", "LAKE_DSWE_V", "",
+                          "Volumetric change in SWE on lake ice",
+                          "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_DSTOR": _M("mm", "LAKE_DSTOR", "",
+                         "Change in lake storage over grid cell",
+                         "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_DSTOR_V": _M("m3", "LAKE_DSTOR_V", "",
+                           "Volumetric change in lake storage",
+                           "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_MOIST": _M("mm", "LAKE_MOIST", "",
+                         "Liquid water stored in lake over grid cell",
+                         "time: point area: mean", AGG_END),
+    "OUT_LAKE_BF_IN": _M("mm", "LAKE_BF_IN", "", "Baseflow into lake",
+                         "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_BF_IN_V": _M("m3", "LAKE_BF_IN_V", "",
+                           "Volumetric baseflow into lake",
+                           "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_BF_OUT": _M("mm", "LAKE_BF_OUT", "", "Baseflow out of lake",
+                          "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_BF_OUT_V": _M("m3", "LAKE_BF_OUT_V", "",
+                            "Volumetric baseflow out of lake",
+                            "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_CHAN_IN": _M("mm", "LAKE_CHAN_IN", "",
+                           "Channel inflow into lake (no routing: 0)",
+                           "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_CHAN_IN_V": _M("m3", "LAKE_CHAN_IN_V", "",
+                             "Volumetric channel inflow into lake",
+                             "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_CHAN_OUT": _M("mm", "LAKE_CHAN_OUT", "",
+                            "Channel outflow from lake",
+                            "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_CHAN_OUT_V": _M("m3", "LAKE_CHAN_OUT_V", "",
+                              "Volumetric channel outflow from lake",
+                              "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_EVAP_V": _M("m3", "LAKE_EVAP_V", "",
+                          "Volumetric net lake evaporation",
+                          "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_PREC_V": _M("m3", "LAKE_PREC_V", "",
+                          "Volumetric precipitation onto lake",
+                          "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_RCHRG_V": _M("m3", "LAKE_RCHRG_V", "",
+                           "Volumetric lake-to-wetland recharge",
+                           "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_RO_IN": _M("mm", "LAKE_RO_IN", "", "Runoff into lake",
+                         "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_RO_IN_V": _M("m3", "LAKE_RO_IN_V", "",
+                           "Volumetric runoff into lake",
+                           "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_VAPFLX": _M("mm", "LAKE_VAPFLX", "",
+                          "Sublimation from lake snow (folded into evap: 0)",
+                          "time: sum area: mean", AGG_SUM),
+    "OUT_LAKE_VAPFLX_V": _M("m3", "LAKE_VAPFLX_V", "",
+                            "Volumetric sublimation from lake snow",
+                            "time: sum area: mean", AGG_SUM),
+    "OUT_SOIL_TNODE_WL": _M("degree_Celsius", "SOIL_TNODE_WL", "",
+                            "Soil node temperature under wetland",
+                            "time: point area: mean", AGG_AVG, dim="node"),
+    "OUT_ZSUM_NODE": _M("m", "ZSUM_NODE", "", "Thermal node depth",
+                        "time: point area: mean", AGG_END, dim="node"),
+    "OUT_SURF_COND": _M("m s-1", "SURF_COND", "",
+                        "Surface conductance (never filled upstream: 0)",
+                        "time: mean area: mean", AGG_AVG),
 }
 
 # Default file compositions (set_output_defaults.c:8: fluxes + snow files)
@@ -431,6 +656,7 @@ class NetCDFOutputWriter:
         f.def_dim("depth", nlayer)
         f.def_dim("node", nnode)
         f.def_dim("band", max(nband, 1))
+        f.def_dim("front", 3)   # MAX_FRONTS (user_def.h:112)
         f.def_dim("lat", len(self.lat_axis))
         f.def_dim("lon", len(self.lon_axis))
         f.def_var("time", np.float64, ("time",),
@@ -443,7 +669,8 @@ class NetCDFOutputWriter:
             m = OUTVAR_META[name]
             dims = ("time",) + (("depth",) if m.dim == "layer" else
                                 ("node",) if m.dim == "node" else
-                                ("band",) if m.dim == "band" else ()) \
+                                ("band",) if m.dim == "band" else
+                                ("front",) if m.dim == "front" else ()) \
                 + ("lat", "lon")
             attrs = {"units": m.units, "long_name": m.long_name,
                      "cell_methods": m.cell_methods, "_FillValue_doc": self.FILL}

@@ -568,3 +568,42 @@ def estimate_layer_ice(node_temp, moist_mm, geom: NodeGeometry, params,
     else:
         layer_ice = jnp.zeros_like(moist_mm)
     return layer_t, layer_ice
+
+
+def find_zero_fronts(node_temp, zsum, max_fronts: int = 3):
+    """Depths of thawing and freezing fronts from the node profile.
+
+    Vectorized re-expression of find_0_degree_fronts
+    (/root/reference/soil_conduction.c:775-830): scanning node pairs from the
+    BOTTOM up, a thawing front sits where T[n] > 0 >= T[n+1] and a freezing
+    front where T[n] < 0 <= T[n+1]; the front depth is the linear
+    interpolation of the zero crossing between the two node depths. Up to
+    `max_fronts` of each are kept in bottom-up order (MAX_FRONTS=3,
+    user_def.h:112). Lanes without a front report 0 depth (the reference
+    stores NaN; 0 keeps aggregation clean).
+
+    node_temp: [..., nn]; zsum: broadcastable [..., nn] node depths (m).
+    Returns (tdepth, fdepth), each [..., max_fronts] in m.
+    """
+    t_up = node_temp[..., :-1]     # node nidx
+    t_dn = node_temp[..., 1:]      # node nidx+1
+    z_up = jnp.broadcast_to(zsum, node_temp.shape)[..., :-1]
+    z_dn = jnp.broadcast_to(zsum, node_temp.shape)[..., 1:]
+    denom = jnp.where(jnp.abs(t_dn - t_up) > 1e-12, t_dn - t_up, 1e-12)
+    zcross = z_up + (0.0 - t_up) * (z_dn - z_up) / denom
+
+    thaw = jnp.logical_and(t_up > 0.0, t_dn <= 0.0)
+    frost = jnp.logical_and(t_up < 0.0, t_dn >= 0.0)
+
+    # reverse to bottom-up scan order and keep the first max_fronts
+    def collect(mask, depth):
+        m = mask[..., ::-1]
+        d = depth[..., ::-1]
+        rank = jnp.cumsum(m.astype(jnp.int32), axis=-1) - 1
+        cols = []
+        for f in range(max_fronts):
+            sel = jnp.logical_and(m, rank == f)
+            cols.append((jnp.where(sel, d, 0.0)).sum(-1))
+        return jnp.stack(cols, axis=-1)
+
+    return collect(thaw, zcross), collect(frost, zcross)
