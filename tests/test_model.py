@@ -161,3 +161,20 @@ class TestEnergyClosure:
         # median absolute closure under 5 W/m^2 on converged steps
         vals = np.abs(err[converged]) if converged.any() else np.abs(err)
         assert np.median(vals) < 5.0, np.median(vals)
+
+
+class TestOutvarPruning:
+    def test_outvars_subset(self):
+        """make_step(outvars=...) returns only the requested variables plus
+        the closure telemetry, and their values match the unpruned step."""
+        gp, domain, params, stack, state = build(n_rec=5)
+        forc0 = jax.tree_util.tree_map(lambda a: a[0], stack)
+        full_step = jax.jit(make_step(params, gp))
+        pruned_step = jax.jit(make_step(
+            params, gp, outvars=["OUT_EVAP", "OUT_RUNOFF"]))
+        _, full = full_step(state, forc0)
+        _, pruned = pruned_step(state, forc0)
+        assert set(pruned) == {"OUT_EVAP", "OUT_RUNOFF", "OUT_WATER_ERROR"}
+        for k in pruned:
+            np.testing.assert_allclose(np.asarray(pruned[k]),
+                                       np.asarray(full[k]), rtol=1e-6)

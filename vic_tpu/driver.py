@@ -145,8 +145,16 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
     # ARGUMENTS: a closed-over concrete array is baked into the HLO as a
     # constant, which bloats the program (and overflows the remote-compile
     # payload limit beyond ~50k cells).
+    # Trace-time output pruning: with an explicit OUTVAR configuration only
+    # the requested variables (+ closure telemetry) are returned, letting XLA
+    # dead-code-eliminate unused diagnostics. The reference fills the whole
+    # out_data table every step regardless (put_data.c).
+    outvars = None
+    if gp.outfiles:
+        outvars = {v for of in gp.outfiles for v in of.varnames}
+
     def scan_chunk(st, forc_stack, prm, gm, zw, lkp):
-        step = make_step(prm, gp, gm, zw, lkp)
+        step = make_step(prm, gp, gm, zw, lkp, outvars=outvars)
         return jax.lax.scan(step, st, forc_stack)
 
     scan_jit = jax.jit(scan_chunk)

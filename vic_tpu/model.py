@@ -37,7 +37,7 @@ StepOutputs = dict
 
 
 def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
-              lake_params=None):
+              lake_params=None, outvars=None):
     """Build the jittable per-record step(state, forcing) -> (state, outputs).
 
     forcing: dict with [n_cell] arrays 'prec' (mm/step), 'air_temp' (C),
@@ -47,6 +47,13 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
     geom: NodeGeometry (physics.frozen_soil.build_node_geometry) — required
     when gp.frozen_soil (layer-ice estimation and, with QUICK_FLUX=FALSE, the
     finite-difference node solve).
+
+    outvars: optional collection of OUT_* names — when given, the step only
+    returns that subset, so XLA dead-code-eliminates every diagnostic that
+    doesn't feed a requested variable or the carried state. The reference
+    fills its whole out_data table each step no matter what the OUTVAR list
+    says (put_data.c); trace-time pruning is the TPU-native improvement.
+    OUT_WATER_ERROR is always kept (primary correctness telemetry).
     """
     dt_hours = gp.dt
     dt_sec = float(dt_hours) * 3600.0
@@ -1214,6 +1221,12 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                       for f in new_state.__dataclass_fields__},
                    "cell_valid": state.cell_valid})
 
+        if outvars is not None:
+            keep = set(outvars) | {"OUT_WATER_ERROR"}
+            if gp.continue_on_error:
+                keep.add("OUT_CELL_VALID")
+            outputs = {k: v for k, v in outputs.items() if k in keep}
+
         return new_state, outputs
 
     return step
@@ -1239,10 +1252,11 @@ def surf_atten_of(lai, p: DeviceParams):
 
 
 def run(state: ModelState, forcing_stacked: dict, params: DeviceParams, gp,
-        geom=None, zwt_curves=None, lake_params=None):
+        geom=None, zwt_curves=None, lake_params=None, outvars=None):
     """Scan the step over [n_rec, ...] stacked forcing. Returns
     (final_state, StepOutputs stacked over records)."""
-    step = make_step(params, gp, geom, zwt_curves, lake_params)
+    step = make_step(params, gp, geom, zwt_curves, lake_params,
+                     outvars=outvars)
 
     def body(carry, forc):
         return step(carry, forc)
