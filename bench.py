@@ -55,11 +55,11 @@ def main():
     dt = (time.perf_counter() - t0) / reps
 
     cell_steps_per_s = n_cell * n_rec / dt
-    # Reference baseline: no published numbers exist (BASELINE.md). We use a
-    # measured-order-of-magnitude estimate for multithreaded C VIC full-energy
-    # mode on a desktop CPU: ~2e4 cell-steps/s. Re-derive when the C oracle
-    # binary is built.
-    baseline_estimate = 2.0e4
+    # Reference baseline: no published numbers exist (BASELINE.md), so we
+    # measured it — the C reference built on this host runs 77.7k
+    # cell-steps/s with OpenMP across the available cores (58.6k single
+    # thread), tools/oracle.py FULL_ENERGY config.
+    baseline_estimate = 7.77e4
     print(json.dumps({
         "metric": "grid-cell-timesteps/s per chip (full-energy+snow+glacier)",
         "value": round(cell_steps_per_s, 1),
