@@ -93,6 +93,33 @@ def c_soil_dt_slack():
     return 0.3  # root-solve bracket slack
 
 
+def test_per_node_fallback_counts():
+    """Forced non-convergence: an absurdly hot surface over a frozen column
+    pushes the near-surface node's root outside the +-10C bisection bracket,
+    tripping TFALLBACK there but NOT at depth — fbcount must vary by node
+    (frozen_soil.c:404-418 counts Tfbcount per node)."""
+    gp = GlobalParams(nlayer=3, nnode=8, quick_flux=False, frozen_soil=True)
+    dom = synthetic_domain(n_cell=2)
+    geom = build_node_geometry(dom.soil, gp)
+    params = prepare_domain(dom, gp)
+    sh = (2, 3, 8)
+    t0 = jnp.full(sh, -5.0)
+    surf = jnp.full(sh[:2], 300.0)   # absurd boundary -> unbracketable root
+    moist = jnp.tile(jnp.asarray(dom.soil.init_moist, jnp.float32)[:, None, :],
+                     (1, 3, 1))
+    nodep = distribute_node_moisture(moist, t0, geom, params, frozen=True)
+    res = solve_t_profile_explicit(
+        t0, surf, nodep["kappa"], nodep["cs"], nodep["moist"],
+        nodep["ice"], geom, params, 86400.0, noflux=False,
+        exp_trans=False, frozen=True)
+    fb = np.asarray(res.fbcount)
+    assert fb.shape == sh, "fbcount must be per-node"
+    per_node = fb.sum(axis=(0, 1))
+    assert per_node[1] > 0, "near-surface node must trip TFALLBACK"
+    assert per_node[-1] == 0, "deep nodes must not trip"
+    assert per_node.max() != per_node.min(), "flags must vary by node"
+
+
 def test_unfrozen_water_curve():
     # colder -> less liquid; above 0 all liquid
     t = jnp.array([-10.0, -1.0, -0.1, 0.5])

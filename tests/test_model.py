@@ -137,12 +137,16 @@ class TestBandOutputs:
 
 class TestSpatialSnow:
     def test_partial_coverage(self):
-        gp, domain, params, stack, state = build(n_rec=60, spatial_snow=True)
+        # run through the spring melt: the depletion curve only produces
+        # partial cover during melt-out (calc_snow_coverage.c — coverage
+        # stays 1 while accumulating, unlike a naive depth ramp)
+        gp, domain, params, stack, state = build(n_rec=180,
+                                                 spatial_snow=True)
         _, outs = jax.jit(lambda s, f: run(s, f, params, gp))(state, stack)
         cov = np.asarray(outs["OUT_SNOW_COVER"])
         assert np.isfinite(cov).all()
         assert cov.max() <= 1.0 + 1e-6
-        # thin packs must show partial cover at some point
+        # thin melting packs must show partial cover at some point
         assert ((cov > 0.01) & (cov < 0.95)).any()
         assert float(np.abs(outs["OUT_WATER_ERROR"]).max()) < 0.01
 

@@ -69,9 +69,15 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
                    forcing: Optional[dict] = None,
                    init_state_path: Optional[str] = None,
                    chunk_recs: int = 0, write_output: bool = True,
-                   progress: bool = True) -> RunResult:
+                   progress: bool = True, devices=None) -> RunResult:
     """Execute the full simulation. domain/forcing default to file ingest per
-    the global parameter settings."""
+    the global parameter settings.
+
+    devices: explicit device list for the cell mesh; defaults to all of
+    jax.devices(). With >1 device the cell axis of every state/parameter/
+    forcing array is sharded over a 1-D mesh — the TPU-native equivalent of
+    the reference's OpenMP cell loop (vicNl.c:514-517) — with weight-0 clone
+    cells padding the axis to a device multiple."""
     import jax
     from .model import make_forcing_stack, make_step
     from .output import aggregate_outputs
@@ -141,6 +147,37 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
         state = load_state(init_state_path or gp.init_state_file, gp,
                            template=state, domain=domain)
 
+    # ---- multi-device cell sharding (SURVEY.md SS2.9): the reference's
+    # OpenMP-over-cells loop (vicNl.c:514-517) becomes a 1-D 'cell' mesh.
+    # Cells are padded to a device multiple with clones of the last cell
+    # (physics stays well-conditioned; outputs/state are un-padded below). ----
+    n_cell_real = domain.n_cell
+    n_cell_run = n_cell_real
+    mesh = None
+    devs = list(devices) if devices is not None else jax.devices()
+    if len(devs) > 1:
+        from .parallel import (cell_mesh, pad_cell_tree, pad_cells,
+                               shard_cell_axis, shard_forcing)
+        mesh = cell_mesh(devices=devs)
+        n_cell_run = pad_cells(n_cell_real, len(devs))
+        n_pad = n_cell_run - n_cell_real
+        params = pad_cell_tree(params, n_cell_real, n_pad)
+        state = pad_cell_tree(state, n_cell_real, n_pad)
+        geom = pad_cell_tree(geom, n_cell_real, n_pad)
+        zwt_curves = pad_cell_tree(zwt_curves, n_cell_real, n_pad)
+        lake_params = pad_cell_tree(lake_params, n_cell_real, n_pad)
+        forcing = pad_cell_tree(forcing, n_cell_real, n_pad, axis=1)
+        params = shard_cell_axis(params, mesh)
+        state = shard_cell_axis(state, mesh)
+        if geom is not None:
+            geom = shard_cell_axis(geom, mesh)
+        zwt_curves = shard_cell_axis(zwt_curves, mesh)
+        if lake_params is not None:
+            lake_params = shard_cell_axis(lake_params, mesh)
+        if progress:
+            print(f"  cell mesh: {n_cell_real} cells (+{n_pad} pad) over "
+                  f"{len(devs)} devices", file=sys.stderr)
+
     # Pass the per-cell parameter pytrees through the jit boundary as
     # ARGUMENTS: a closed-over concrete array is baked into the HLO as a
     # constant, which bloats the program (and overflows the remote-compile
@@ -186,14 +223,21 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
                              timeaxis.hour, timeaxis.day_in_year)])
         stack = make_forcing_stack(
             {k: v[start:end] for k, v in forcing.items()}, sub_ax)
+        if mesh is not None:
+            from .parallel import shard_forcing
+            stack = shard_forcing(stack, mesh)
         state, outs = scan_jit(state, stack, params, geom, zwt_curves,
                                lake_params)
-        all_outs.append(jax.tree_util.tree_map(np.asarray, outs))
+        all_outs.append(jax.tree_util.tree_map(
+            lambda a: np.asarray(a)[:, :n_cell_real]
+            if a.ndim >= 2 and a.shape[1] == n_cell_run else np.asarray(a),
+            outs))
         if gmb is not None and end in gmb_boundaries | {n_rec}:
             res = gmb.maybe_emit(timeaxis, end - 1,
-                                 np.asarray(state.glac_cum_mass_balance),
-                                 np.asarray(params.band_elev),
-                                 np.asarray(params.is_glacier))
+                                 np.asarray(
+                                     state.glac_cum_mass_balance)[:n_cell_real],
+                                 np.asarray(params.band_elev)[:n_cell_real],
+                                 np.asarray(params.is_glacier)[:n_cell_real])
             if res is not None:
                 import dataclasses
                 state = dataclasses.replace(
@@ -206,6 +250,10 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
             print(f"  records {start}..{end} done", file=sys.stderr)
     jax.block_until_ready(state.moist)
     elapsed = time.perf_counter() - t0
+    if n_cell_run != n_cell_real:
+        from .parallel import unpad_cell_tree
+        state = unpad_cell_tree(jax.tree_util.tree_map(np.asarray, state),
+                                n_cell_run, n_cell_real)
 
     outs = {k: np.concatenate([o[k] for o in all_outs], axis=0)
             for k in all_outs[0]}

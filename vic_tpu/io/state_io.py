@@ -52,6 +52,12 @@ _NAME_MAP = {
     "coverage": "SNOW_COVERAGE",
     "cold_content": "SNOW_COLD_CONTENT",
     "snow_flag": "SNOW_SNOW",
+    # SPATIAL_SNOW depletion-curve memory (StateIO.h:364-371)
+    "snow_store_snow": "SNOW_STORE_SNOW",
+    "snow_store_swq": "SNOW_STORE_SWQ",
+    "snow_max_swq": "SNOW_MAX_SWQ",
+    "snow_swq_slope": "SNOW_SWQ_SLOPE",
+    "snow_store_coverage": "SNOW_STORE_COVERAGE",
     "node_temp": "ENERGY_T",
     "tfoliage": "ENERGY_TFOLIAGE",
     "glac_water_storage": "GLAC_WATER_STORAGE",

@@ -427,6 +427,10 @@ def load_state_legacy(path: str, gp, domain, template: ModelState,
     fields["coverage"] = jnp.asarray(
         np.where(has_snow, 1.0, 0.0).astype(
             np.asarray(template.coverage).dtype))
-    for k in ("mu", "still_storm", "dry_time", "cell_valid"):
+    for k in ("mu", "still_storm", "dry_time", "cell_valid",
+              # depletion-curve memory is not in the legacy format
+              # (write_model_state.c writes only snow->coverage)
+              "snow_store_snow", "snow_store_swq", "snow_max_swq",
+              "snow_swq_slope", "snow_store_coverage"):
         fields[k] = getattr(template, k)
     return ModelState(**fields)

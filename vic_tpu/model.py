@@ -355,7 +355,10 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 dt_sec=dt_sec, max_iter=gp.brent_maxiter,
                 tfallback=gp.tfallback, blowing_flux=blow_flux,
                 active_mask=jnp.logical_and(snow_present, p.mask),
-                is_glacier=glacier)
+                is_glacier=glacier,
+                # SPATIAL_SNOW: the pack EB sees last step's coverage
+                # (solve_snow.c calls calc_snow_coverage AFTER snow_melt)
+                snow_cover_fract=state.coverage if gp.spatial_snow else None)
 
             # merge: lanes with snow take the snow result, others keep zeros
             S = lambda new, old: jnp.where(snow_present, new, old)
@@ -422,16 +425,42 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             depth = jnp.where(density > 0.0, 1000.0 * swq / jnp.maximum(
                 density, 1.0), 0.0)
             if gp.spatial_snow:
-                # SPATIAL_SNOW partial coverage (calc_snow_coverage.c,
-                # soil depth_full_snow_cover): linear depletion below the
-                # full-cover depth; fresh snowfall restores full cover
+                # SPATIAL_SNOW partial coverage with depletion-curve memory
+                # (calc_snow_coverage.c:7-150; called after snow_melt with the
+                # new pack vs the old distribution state, solve_snow.c:384)
+                from .physics.snow import calc_snow_coverage
                 dfsc = jnp.maximum(B(p.depth_full_snow_cover), 1e-4)
-                coverage = jnp.where(
-                    swq > 0.0,
-                    jnp.where(fresh, 1.0, jnp.clip(depth / dfsc, 0.0, 1.0)),
-                    0.0)
+                cr = calc_snow_coverage(
+                    store_snow=state.snow_store_snow, dfsc=dfsc,
+                    old_coverage=state.coverage, swq=swq, old_swq=state.swq,
+                    depth=depth, old_depth=state.depth,
+                    melt_m=melt_out / 1000.0 + vapor_flux,
+                    max_swq=state.snow_max_swq,
+                    snowfall_mm=snowfall_ground,
+                    store_swq=state.snow_store_swq,
+                    swq_slope=state.snow_swq_slope,
+                    store_coverage=state.snow_store_coverage)
+                coverage = jnp.where(swq > 0.0, cr.coverage, 0.0)
+                # complete-melt reset (solve_snow.c:462-476) and
+                # no-snow reset (solve_snow.c:500-501,533-534)
+                full_melt = jnp.logical_and(snow_present, swq <= 0.0)
+                no_snow = ~snow_present
+                cov_state = dict(
+                    snow_store_snow=jnp.where(full_melt, True,
+                                              cr.store_snow),
+                    snow_store_swq=jnp.where(no_snow, 0.0, cr.store_swq),
+                    snow_max_swq=cr.max_swq,
+                    snow_swq_slope=jnp.where(full_melt, 0.0, cr.swq_slope),
+                    snow_store_coverage=jnp.where(no_snow, 1.0,
+                                                  cr.store_coverage))
             else:
                 coverage = jnp.where(swq > 0.0, 1.0, 0.0)
+                cov_state = dict(
+                    snow_store_snow=state.snow_store_snow,
+                    snow_store_swq=state.snow_store_swq,
+                    snow_max_swq=state.snow_max_swq,
+                    snow_swq_slope=state.snow_swq_slope,
+                    snow_store_coverage=state.snow_store_coverage)
 
             # MELTING flag (solve_snow.c:500-510, lat-aware season window)
             north = B(p.lat) >= 0
@@ -499,6 +528,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 glac_outflow=glac_outflow,
                 glac_water_storage=glac_water_storage,
                 density=density, depth=depth, coverage=coverage,
+                cov_state=cov_state,
                 melting=melting, net_short_bare=net_short_bare,
                 long_bare_in=long_bare_in, ts=ts, fb=fb, eb=eb)
 
@@ -563,6 +593,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
         glac_outflow = r["glac_outflow"]
         glac_water_storage = r["glac_water_storage"]
         density = r["density"]; depth = r["depth"]; coverage = r["coverage"]
+        cov_state = r["cov_state"]
         melting = r["melting"]; net_short_bare = r["net_short_bare"]
         long_bare_in = r["long_bare_in"]; ts = r["ts"]; fb = r["fb"]
         eb = r["eb"]
@@ -829,6 +860,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             density=density, depth=depth, albedo=snow_alb,
             last_snow=last_snow, melting=melting, coverage=coverage,
             cold_content=cold_content, snow_flag=snow_present,
+            **cov_state,
             node_temp=node_temp, tfoliage=tfoliage_new,
             glac_water_storage=glac_water_storage,
             # mass_balance = precip_in - water_reaching_surface - sublimation
@@ -927,12 +959,13 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             tdep, fdep = find_zero_fronts(node_temp, geom.zsum[:, None, :])
             tdepth_c = (tdep * w[..., None]).sum(-2) * 100.0   # cm
             fdepth_c = (fdep * w[..., None]).sum(-2) * 100.0
+            # per-node fallback flags [c,h,nn] (frozen_soil.c:404-418)
             soilt_fb = (prof.fbcount > 0).astype(ts.dtype) if fd_nodes \
-                else jnp.zeros_like(ts)
+                else jnp.zeros_like(node_temp)
         else:
             tdepth_c = jnp.zeros(cell_runoff.shape + (3,), cell_runoff.dtype)
             fdepth_c = tdepth_c
-            soilt_fb = jnp.zeros_like(ts)
+            soilt_fb = jnp.zeros_like(node_temp)
 
         outputs = {
             # --- water states ---
@@ -1074,17 +1107,17 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             "OUT_REFREEZE": agg(jnp.maximum(sm.terms.refreeze_energy, 0.0)
                                 * coverage) / c.LF * dt_sec,
             "OUT_SUB_SURFACE": agg(snow_sub_mm - sub_blow_lane),
-            # advected sensible heat to exposed patches: the partial-cover
-            # advection term is folded into the pack advection here
-            # (advected_sensible_heat.c) — reported as 0 separately
-            "OUT_ADV_SENS": zero_c,
+            # sensible heat advected from snow-free patches onto the pack
+            # (advected_sensible_heat.c:8, SPATIAL_SNOW only); negated and
+            # coverage-weighted like the other pack terms
+            # (put_data.c:1131, surface_fluxes.c:804-806)
+            "OUT_ADV_SENS": -agg(sm.terms.advected_sensible * coverage),
             "OUT_AERO_COND": agg_cond,
             "OUT_AERO_COND1": agg_cond1,
             "OUT_AERO_COND2": agg_cond2,
             "OUT_AERO_RESIST1": recip(agg_cond1),
             "OUT_AERO_RESIST2": recip(agg_cond2),
-            "OUT_SOILT_FBFLAG": agg(soilt_fb)[..., None]
-            * jnp.ones_like(node_temp[:, 0, :]),
+            "OUT_SOILT_FBFLAG": (soilt_fb * w[..., None]).sum(-2),
             "OUT_FDEPTH": fdepth_c,
             "OUT_TDEPTH": tdepth_c,
             # EXCESS_ICE subsidence — compiled out upstream
@@ -1140,7 +1173,8 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             # collect_eb_terms band accumulation, vicNl_def.h:548-560)
             outputs["OUT_ADVECTION_BAND"] = band_agg(
                 sm.terms.advection * coverage)
-            outputs["OUT_ADV_SENS_BAND"] = band_agg(0.0 * coverage)
+            outputs["OUT_ADV_SENS_BAND"] = -band_agg(
+                sm.terms.advected_sensible * coverage)
             outputs["OUT_DELTACC_BAND"] = band_agg(
                 sm.terms.delta_cc * coverage)
             outputs["OUT_GRND_FLUX_BAND"] = -band_agg(eb.grnd_flux)

@@ -1,1 +1,2 @@
-from .sharding import cell_mesh, pad_cells, shard_cell_axis, shard_forcing  # noqa: F401
+from .sharding import (cell_mesh, pad_cell_tree, pad_cells,  # noqa: F401
+                       shard_cell_axis, shard_forcing, unpad_cell_tree)

@@ -50,3 +50,37 @@ def shard_forcing(stack: dict, mesh: Mesh):
     """Forcing arrays are [n_rec, n_cell]: shard axis 1; time stays replicated
     (streamed through the scan)."""
     return shard_cell_axis(stack, mesh, axis=1)
+
+
+def pad_cell_tree(tree, n_cell: int, n_pad: int, axis: int = 0):
+    """Pad every leaf whose `axis` dim equals n_cell with n_pad copies of its
+    last cell. Padding cells are real-valued clones of an existing cell, so
+    every physics kernel stays well-conditioned on them; their outputs are
+    sliced off by `unpad_cell_tree` before anything leaves the device path."""
+    if tree is None or n_pad == 0:
+        return tree
+
+    def pad(x):
+        if not hasattr(x, "shape") or x.ndim <= axis or x.shape[axis] != n_cell:
+            return x
+        xp = jax.numpy if isinstance(x, jax.Array) else np
+        edge = xp.take(x, np.asarray([n_cell - 1]), axis=axis)
+        return xp.concatenate([x, xp.repeat(edge, n_pad, axis=axis)],
+                              axis=axis)
+
+    return jax.tree_util.tree_map(pad, tree)
+
+
+def unpad_cell_tree(tree, n_padded: int, n_cell: int, axis: int = 0):
+    """Inverse of pad_cell_tree: slice leaves back to the real cell count."""
+    if tree is None or n_padded == n_cell:
+        return tree
+
+    def unpad(x):
+        if not hasattr(x, "shape") or x.ndim <= axis or x.shape[axis] != n_padded:
+            return x
+        idx = tuple(slice(None) if d != axis else slice(0, n_cell)
+                    for d in range(x.ndim))
+        return x[idx]
+
+    return jax.tree_util.tree_map(unpad, tree)

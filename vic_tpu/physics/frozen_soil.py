@@ -254,7 +254,7 @@ def distribute_node_moisture(moist_mm, node_temp, geom: NodeGeometry, params,
 
 class ProfileResult(NamedTuple):
     temp: jnp.ndarray       # [c, h, nn] new node temperatures
-    fbcount: jnp.ndarray    # [c, h] nodes that hit TFALLBACK
+    fbcount: jnp.ndarray    # [c, h, nn] per-node TFALLBACK counts
     iterations: jnp.ndarray
 
 
@@ -325,7 +325,8 @@ def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
         return val
 
     def sweep(T):
-        fb = jnp.zeros(T.shape[:-1], jnp.int32)
+        # per-node fallback counts (frozen_soil.c:404-418 Tfbcount[j]++)
+        fb = jnp.zeros(T.shape, jnp.int32)
         maxdiff = jnp.zeros(T.shape[:-1], T.dtype)
         for j in range(1, nn - 1):
             oldT = T[..., j]
@@ -378,8 +379,8 @@ def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
                                            jnp.asarray(fs)[..., 0]
                                            if frozen else False)
                 t_new = jnp.where(use_root, t_frozen, t_lin)
-                fb = fb + jnp.where(
-                    jnp.logical_and(use_root, ~bracketed), 1, 0)
+                fb = fb.at[..., j].add(jnp.where(
+                    jnp.logical_and(use_root, ~bracketed), 1, 0))
             else:
                 t_new = t_lin
             T = T.at[..., j].set(t_new)
@@ -417,7 +418,7 @@ def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
 
     T, iters, _, fb = jax.lax.while_loop(
         cond, body, (T_init, jnp.int32(0), jnp.asarray(1.0, t0.dtype),
-                     jnp.zeros(t0.shape[:-1], jnp.int32)))
+                     jnp.zeros(t0.shape, jnp.int32)))
     return ProfileResult(temp=T, fbcount=fb, iterations=iters)
 
 
@@ -509,7 +510,10 @@ def solve_t_profile_implicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
     bad = ~jnp.isfinite(T) | (jnp.abs(T - t0) > 40.0)
     fb = bad.any(-1)
     T = jnp.where(fb[..., None], t0.at[..., 0].set(surf_temp), T)
-    return ProfileResult(temp=T, fbcount=fb.astype(jnp.int32),
+    # per-node fallback counts: the nodes whose update actually went wild
+    # (the whole column reverts, but only they are counted — mirroring
+    # frozen_soil.c:404-418 Tfbcount[j])
+    return ProfileResult(temp=T, fbcount=bad.astype(jnp.int32),
                          iterations=jnp.int32(max_nr))
 
 

@@ -191,6 +191,23 @@ def latent_heat_from_snow(air_dens, eact_air, lv, press, ra, tmean, vpd,
     return latent, latent_sub, vapor_flux
 
 
+def advected_sensible_heat(snow_cover_fract, air_dens, tair, tgrnd, ra):
+    """Sensible heat advected from snow-free patches to snow-covered patches
+    (advected_sensible_heat.c:8-48, Marsh/Pomeroy/Neumann 1997). Active only
+    under SPATIAL_SNOW partial coverage."""
+    qbare = air_dens * c.CP * (tair - tgrnd) / ra
+    fs = jnp.where(
+        snow_cover_fract > 0.6, 1.0,
+        jnp.where(snow_cover_fract > 0.5,
+                  10.0 ** (3.0 * snow_cover_fract - 1.8),
+                  jnp.where(snow_cover_fract > 0.2,
+                            10.0 ** (5.6667 * snow_cover_fract - 3.1333),
+                            0.01)))
+    cov = jnp.maximum(snow_cover_fract, c.SMALL)
+    qadv = qbare * (1.0 - snow_cover_fract) / cov * fs
+    return jnp.where(snow_cover_fract > 0.0, qadv, 0.0)
+
+
 class SnowEBTerms(NamedTuple):
     rest: jnp.ndarray            # residual (W/m^2), 0 in melt branch
     refreeze_energy: jnp.ndarray
@@ -202,15 +219,18 @@ class SnowEBTerms(NamedTuple):
     delta_cc: jnp.ndarray
     grnd_flux: jnp.ndarray
     net_long: jnp.ndarray
+    advected_sensible: jnp.ndarray
 
 
 def snow_energy_terms(tsurf, *, dt, ra, displacement, z_ref, roughness,
                       air_dens, vp_air, longwave_in, lv, pressure, rain_m,
                       net_short, vpd, wind, old_tsurf, snow_depth, snow_density,
                       surf_water, surface_swq, tair, tgrnd,
-                      blowing_flux=0.0) -> SnowEBTerms:
+                      blowing_flux=0.0, snow_cover_fract=None) -> SnowEBTerms:
     """All terms of the snowpack surface energy balance at candidate tsurf
-    (SnowPackEnergyBalance.c:calculate). Shapes broadcast over the batch."""
+    (SnowPackEnergyBalance.c:calculate). Shapes broadcast over the batch.
+    snow_cover_fract: SPATIAL_SNOW partial coverage — enables the advected
+    sensible heat term (SnowPackEnergyBalance.c:132-143)."""
     ra_corr = jnp.where(
         wind > 0.0,
         ra / stability_correction(z_ref, 0.0, tsurf, tair, wind, roughness),
@@ -220,6 +240,11 @@ def snow_energy_terms(tsurf, *, dt, ra, displacement, z_ref, roughness,
     net_long = longwave_in - c.STEFAN_B * tkelv ** 4
     net_rad = net_short + net_long
     sensible = air_dens * c.CP * (tair - tsurf) / ra_corr
+    if snow_cover_fract is not None:
+        adv_sens = advected_sensible_heat(snow_cover_fract, air_dens, tair,
+                                          tgrnd, ra_corr)
+    else:
+        adv_sens = jnp.zeros_like(sensible)
 
     latent, latent_sub, vapor_mass_flux = latent_heat_from_snow(
         air_dens, vp_air, lv, pressure, ra_corr, tsurf, vpd, blowing_flux)
@@ -235,7 +260,7 @@ def snow_energy_terms(tsurf, *, dt, ra, displacement, z_ref, roughness,
 
     refreeze_energy = surf_water * c.LF * c.RHO_W / dt
     rest = (net_rad + sensible + latent + latent_sub + advection
-            - delta_cc + grnd_flux)
+            + adv_sens - delta_cc + grnd_flux)
     # two-pass 0C pattern (SnowPackEnergyBalance.c:186-195):
     melt_branch = jnp.logical_and(tsurf == 0.0, rest > -refreeze_energy)
     refreeze_out = jnp.where(melt_branch, -rest, refreeze_energy)
@@ -244,7 +269,8 @@ def snow_energy_terms(tsurf, *, dt, ra, displacement, z_ref, roughness,
                        vapor_flux=vapor_flux, latent=latent,
                        latent_sub=latent_sub, sensible=sensible,
                        advection=advection, delta_cc=delta_cc,
-                       grnd_flux=grnd_flux, net_long=net_long)
+                       grnd_flux=grnd_flux, net_long=net_long,
+                       advected_sensible=adv_sens)
 
 
 class SnowMeltResult(NamedTuple):
@@ -269,7 +295,7 @@ def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
               longwave_in, net_short, lv, ra, displacement, z_ref, roughness,
               dt_sec, max_iter: int = 30, tfallback: bool = True,
               blowing_flux=0.0, active_mask=None,
-              is_glacier=None) -> SnowMeltResult:
+              is_glacier=None, snow_cover_fract=None) -> SnowMeltResult:
     """Batched two-layer snowpack mass/energy update (snow_melt.c:119-560).
 
     All snow states in m of water equivalent; precip inputs in mm/step.
@@ -348,7 +374,8 @@ def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
         net_short=net_short, vpd=vpd, wind=wind, old_tsurf=old_tsurf,
         snow_depth=snow_depth, snow_density=snow_density,
         surf_water=surf_water, surface_swq=surface_swq,
-        tair=tcanopy, tgrnd=tgrnd, blowing_flux=blowing_flux)
+        tair=tcanopy, tgrnd=tgrnd, blowing_flux=blowing_flux,
+        snow_cover_fract=snow_cover_fract)
 
     terms0 = snow_energy_terms(jnp.zeros_like(swq), **term_kwargs)
     melt_cond = terms0.rest == 0.0
@@ -525,3 +552,79 @@ def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
         melt=melt_out * 1000.0, vapor_flux=-vapor_flux,
         cold_content=cold_content, qnet=terms.rest,
         surf_temp_fbflag=fbflag, firn_to_ice=firn_to_ice, terms=terms)
+
+
+class SnowCoverageResult(NamedTuple):
+    coverage: jnp.ndarray
+    store_snow: jnp.ndarray      # bool
+    store_swq: jnp.ndarray       # m
+    swq_slope: jnp.ndarray       # m/fract (negative)
+    store_coverage: jnp.ndarray
+    max_swq: jnp.ndarray         # m
+
+
+def calc_snow_coverage(*, store_snow, dfsc, old_coverage, swq, old_swq,
+                       depth, old_depth, melt_m, max_swq, snowfall_mm,
+                       store_swq, swq_slope,
+                       store_coverage) -> SnowCoverageResult:
+    """SPATIAL_SNOW partial snow coverage with depletion-curve memory
+    (calc_snow_coverage.c:7-150, Cherkauer 2001): snow is assumed uniformly
+    distributed with a slope anchored at depth_full_snow_cover (dfsc); melt
+    reduces coverage along the stored slope; fresh snowfall over a partial
+    pack is tracked separately (store_swq) so melting it off restores the
+    buried depletion state instead of resetting it.
+
+    The reference's stateful branch tree becomes three fully-evaluated masked
+    lanes (accumulating / melting / unchanged). All water amounts in m.
+    """
+    one = jnp.ones_like(old_coverage)
+    accum = snowfall_mm > 0.0
+    melting = jnp.logical_and(~accum, melt_m > 0.0)
+
+    # ---- accumulation lane (calc_snow_coverage.c:44-80) ----
+    sc_keep = jnp.where(store_swq == 0.0,
+                        jnp.where(old_coverage < 1.0, old_coverage, one),
+                        store_coverage)
+    ssw_acc = store_swq + (swq - old_swq)
+    bury = depth >= dfsc / 2.0   # deep enough to erase melt-distribution memory
+    a_store_snow = jnp.where(store_snow, ~bury, old_coverage < 1.0)
+    a_store_swq = jnp.where(
+        store_snow, jnp.where(bury, 0.0, ssw_acc),
+        jnp.where(old_coverage < 1.0, swq - old_swq, store_swq))
+    a_swq_slope = jnp.where(jnp.logical_and(store_snow, bury), 0.0, swq_slope)
+    a_store_cov = jnp.where(store_snow, jnp.where(bury, one, sc_keep),
+                            store_coverage)
+
+    # ---- melt lane (calc_snow_coverage.c:82-141) ----
+    thin = jnp.logical_and(store_swq > 0.0, swq < old_swq)
+    m_ssw1 = jnp.where(thin, store_swq + swq - old_swq, store_swq)
+    cleared = jnp.logical_and(thin, m_ssw1 <= 0.0)  # stored new snow all gone
+    m_ssw = jnp.where(cleared, 0.0, m_ssw1)
+    m_oldcov = jnp.where(cleared, store_coverage, old_coverage)
+    m_store_cov = jnp.where(cleared, one, store_coverage)
+    depleting = m_ssw == 0.0
+    need_slope = jnp.logical_and(depleting, swq_slope == 0.0)
+    m_slope = jnp.where(
+        need_slope,
+        jnp.where(old_depth > dfsc / 2.0, -dfsc, -2.0 * old_depth),
+        swq_slope)
+    m_max0 = jnp.where(need_slope, -m_slope, max_swq)
+    m_store_snow = jnp.where(need_slope, True, store_snow)
+    m_max = jnp.where(depleting, 2.0 * depth, m_max0)
+    # rain/sublimation can raise swq mid-melt: coverage unchanged then
+    reduce_cov = jnp.logical_and(
+        depleting, jnp.logical_or(m_max < m_max0, m_max0 == 0.0))
+    cov_red = jnp.minimum(
+        -m_max / jnp.where(m_slope != 0.0, m_slope, -one), one)
+    m_cov = jnp.where(jnp.logical_and(depleting, reduce_cov), cov_red,
+                      m_oldcov)
+
+    # ---- combine the three lanes ----
+    pick = lambda a, m, u: jnp.where(accum, a, jnp.where(melting, m, u))
+    return SnowCoverageResult(
+        coverage=pick(one, m_cov, old_coverage),
+        store_snow=pick(a_store_snow, m_store_snow, store_snow),
+        store_swq=pick(a_store_swq, m_ssw, store_swq),
+        swq_slope=pick(a_swq_slope, m_slope, swq_slope),
+        store_coverage=pick(a_store_cov, m_store_cov, store_coverage),
+        max_swq=pick(max_swq, m_max, max_swq))

@@ -58,6 +58,13 @@ class ModelState:
     coverage: jnp.ndarray
     cold_content: jnp.ndarray  # J/m^2 surface-layer cold content
     snow_flag: jnp.ndarray    # bool: snow present during step
+    # SPATIAL_SNOW depletion-curve memory (calc_snow_coverage.c;
+    # snow_data_struct fields vicNl_def.h:1232-1246)
+    snow_store_snow: jnp.ndarray     # bool: new accumulation stored on top
+    snow_store_swq: jnp.ndarray      # m: stored new snow over old distribution
+    snow_max_swq: jnp.ndarray        # m: last max swq of current melt period
+    snow_swq_slope: jnp.ndarray      # m/fract: uniform distribution slope
+    snow_store_coverage: jnp.ndarray  # coverage buried under stored new snow
     # energy (energy_bal_struct)
     node_temp: jnp.ndarray    # [c, h, n_node] soil node temperatures, C
     tfoliage: jnp.ndarray
@@ -130,6 +137,10 @@ def initial_state(domain, gp, surf_temp_init=None, dtype=jnp.float32,
         last_snow=jnp.zeros(sh, jnp.int32),
         melting=jnp.zeros(sh, bool), coverage=Z(), cold_content=Z(),
         snow_flag=jnp.zeros(sh, bool),
+        # initialize_snow.c:64-82: store_snow=FALSE, store_coverage=0
+        snow_store_snow=jnp.zeros(sh, bool), snow_store_swq=Z(),
+        snow_max_swq=Z(), snow_swq_slope=Z(),
+        snow_store_coverage=Z(),
         node_temp=node_temp, tfoliage=Z(),
         glac_water_storage=Z(), glac_cum_mass_balance=Z(), glac_surf_temp=Z(),
         surf_temp_fbcount=jnp.zeros(sh, jnp.int32),
