@@ -141,7 +141,12 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
             if np.asarray(a).dtype.kind == "f" else jnp.asarray(a),
             lake_params)
 
-    state = initial_state(domain, gp, lake_params=lake_params)
+    # cold-start surface temperature = first-step air temperature, clamped
+    # >= -1 C inside initial_state (initialize_model_state.c:138-147)
+    air0 = np.asarray(forcing["air_temp"])[0] if "air_temp" in forcing \
+        else None
+    state = initial_state(domain, gp, surf_temp_init=air0,
+                          lake_params=lake_params, geom=geom)
     if gp.init_state and (init_state_path or gp.init_state_file):
         from .io.state_io import load_state
         state = load_state(init_state_path or gp.init_state_file, gp,

@@ -134,6 +134,33 @@ def pressure_density(air_temp, elevation, plapse: bool = True,
     return pressure, dens
 
 
+# accumulation-type forcings (mm/step): split on refinement, sum on
+# aggregation; everything else is intensive (repeat / mean)
+_EXTENSIVE = {"PREC", "RAINF", "SNOWF", "CRAINF", "CSNOWF", "LSRAINF",
+              "LSSNOWF", "CHANNEL_IN"}
+
+
+def resample_forcing_series(v: np.ndarray, name: str, file_dt: int,
+                            model_dt: int) -> np.ndarray:
+    """Re-time a supplied [n_rec_file, n_cell] series from its file time step
+    to the model step (initialize_atmos.c fills the NF sub-step slots of each
+    atmos array from whatever resolution was supplied; with SNOW_STEP <
+    FORCE_DT the coarse values repeat across sub-steps and accumulations
+    split evenly — uniform disaggregation like initialize_atmos.c's
+    prec/wind handling)."""
+    if file_dt == model_dt:
+        return v
+    if file_dt > model_dt:                    # refine: coarse -> fine
+        nf = file_dt // model_dt
+        out = np.repeat(v, nf, axis=0)
+        return out / nf if name in _EXTENSIVE else out
+    na = model_dt // file_dt                  # aggregate: fine -> coarse
+    n = (v.shape[0] // na) * na
+    w = v[:n].reshape(-1, na, *v.shape[1:])
+    return w.sum(1) if name in _EXTENSIVE else w.mean(1)
+
+
+
 def build_model_forcing(supplied: Dict[str, np.ndarray], gp, domain,
                         timeaxis) -> Dict[str, np.ndarray]:
     """Assemble the model-step forcing dict from whatever was supplied
@@ -260,10 +287,18 @@ def build_model_forcing(supplied: Dict[str, np.ndarray], gp, domain,
         prec = prec_d.T
         tskc = mt["tskc"].T
 
-    wind = supplied["WIND"][:n_rec] if have("WIND") else \
-        np.full((n_rec, n_cell), 1.5)
+    def fit(name):
+        # daily-supplied extras on the sub-daily model axis: uniform repeat
+        # (initialize_atmos.c wind handling)
+        v = supplied[name]
+        if v.shape[0] < n_rec and n_rec % v.shape[0] == 0:
+            v = resample_forcing_series(v, name,
+                                        gp.dt * (n_rec // v.shape[0]), gp.dt)
+        return v[:n_rec]
+
+    wind = fit("WIND") if have("WIND") else np.full((n_rec, n_cell), 1.5)
     if have("LONGWAVE"):
-        lw = supplied["LONGWAVE"][:n_rec]
+        lw = fit("LONGWAVE")
     else:
         lw = calc_longwave(tskc, air_temp, vp, int(gp.lw_type),
                            int(gp.lw_cloud))

@@ -22,6 +22,7 @@ from typing import Dict
 import numpy as np
 
 from ..constants import ForceFormat
+from .disagg import resample_forcing_series  # noqa: F401
 
 # forcing-name -> CF-ish NetCDF name (variable_mapping.c:17-48)
 NETCDF_FORCING_NAMES = {
@@ -93,23 +94,32 @@ def read_netcdf_forcing(path: str, var_names, lats, lons, n_rec: int,
 def ingest_forcing(gp, domain, timeaxis) -> Dict[str, np.ndarray]:
     """Read all configured forcing inputs and produce the model forcing dict
     (prec/air_temp/wind/shortwave/longwave/pressure/vp/density at the model
-    step), synthesizing what is not supplied (initialize_atmos.c pipeline)."""
+    step), synthesizing what is not supplied (initialize_atmos.c pipeline).
+
+    Fully-specified (pattern A: AIR_TEMP+PREC) forcings supplied at a time
+    step different from gp.dt are re-timed here — this is what makes
+    SNOW_STEP < TIME_STEP sub-stepping correct for supplied sub-daily
+    forcing (the driver re-times gp.dt to SNOW_STEP before ingest).
+    Daily TMAX/TMIN sets stay on their daily axis for the MTCLIM
+    disaggregation path (pattern B)."""
     n_rec = timeaxis.nrecs
     soil = domain.soil
     n_cell = soil.n_cell
     supplied: Dict[str, np.ndarray] = {}
+    var_dt: Dict[str, int] = {}
 
     for fi in gp.forcing:
         if not fi.prefix or not fi.types:
             continue
         names = [t[0] for t in fi.types]
-        recs_needed = n_rec * fi.dt // gp.dt if fi.dt >= gp.dt else \
-            n_rec * gp.dt // fi.dt
+        # file records covering the simulation span
+        recs_needed = -(-n_rec * gp.dt // fi.dt)
         if fi.format == ForceFormat.NETCDF:
             got = read_netcdf_forcing(fi.prefix, names, soil.lat, soil.lng,
                                       recs_needed)
             for k, v in got.items():
                 supplied[k] = v
+                var_dt[k] = fi.dt
         else:
             cols = {n: np.zeros((recs_needed, n_cell)) for n in names
                     if n != "SKIP"}
@@ -123,6 +133,14 @@ def ingest_forcing(gp, domain, timeaxis) -> Dict[str, np.ndarray]:
                     m = min(len(v), recs_needed)
                     cols[k][:m, ci] = v[:m]
             supplied.update(cols)
+            for k in cols:
+                var_dt[k] = fi.dt
+
+    if "AIR_TEMP" in supplied and "PREC" in supplied:
+        # pattern A: everything must land on the model time axis
+        supplied = {k: resample_forcing_series(v, k, var_dt.get(k, gp.dt),
+                                               gp.dt)
+                    for k, v in supplied.items()}
 
     from .disagg import build_model_forcing
     return build_model_forcing(supplied, gp, domain, timeaxis)

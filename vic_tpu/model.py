@@ -215,6 +215,14 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
 
         surf_att = surf_atten_of(lai, p)
         short_over_in = (1.0 - surf_att) * sw_in
+        # understory SW is canopy-attenuated only for snow-covered overstory
+        # (solve_snow.c:224 ShortUnderIn *= surf_atten)
+        sw_under = jnp.where(jnp.logical_and(p.overstory, snow_present),
+                             surf_att * sw_in, sw_in)
+        # the ground-flux damping drops for snow-covered non-overstory lanes
+        # (solve_snow.c:207: if !overstory, surf_atten = 1)
+        surf_att_eff = jnp.where(
+            jnp.logical_and(snow_present, ~p.overstory), 1.0, surf_att)
         glacier = p.is_glacier
         tgrnd = state.node_temp[..., 0]
         tgrnd_eff = jnp.where(glacier, c.GLAC_TEMP, tgrnd)
@@ -286,7 +294,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             moist_l=moist0, ice_l=ice0,
             wcr=B(p.wcr), wpwp=B(p.wpwp), depth_l=B(p.depth),
             resid_moist0=B(p.resid_moist)[..., 0], b_infilt=B(p.b_infilt),
-            max_moist_l=B(p.max_moist), surf_atten=surf_atten_of(lai, p),
+            max_moist_l=B(p.max_moist), surf_atten=surf_att_eff,
             grnd_flux_type=int(gp.grnd_flux_type), frozen_soil=frozen)
 
         def column(tca):
@@ -336,7 +344,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             albedo_under = jnp.where(fresh, snow_alb,
                                      state.coverage * snow_alb
                                      + (1.0 - state.coverage) * bare_albedo)
-            net_short_snow = (1.0 - albedo_under) * sw_in
+            net_short_snow = (1.0 - albedo_under) * sw_under
 
             # ---- snowpack accumulation/ablation (snow_melt.c) --------------
             sm = snow_melt(
@@ -477,8 +485,43 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                               False, state.melting)),
                 False)
 
+            # ---- coverage-change bookkeeping (solve_snow.c:406-448) --------
+            # delta_coverage = area that lost its snow this step; the energy
+            # the pack spent there (melt_energy) feeds the exposed ground's
+            # EB, and that area still reflects at the snow albedo this step.
+            old_cov = state.coverage
+            delta_cov = jnp.where(snow_present,
+                                  jnp.maximum(old_cov - coverage, 0.0), 0.0)
+            # snow fell and melted entirely within the step
+            # (solve_snow.c:442-448): delta_coverage = 1
+            same_step = jnp.logical_and(
+                snow_present,
+                jnp.logical_and(old_cov == 0.0, coverage == 0.0))
+            delta_cov = jnp.where(same_step, 1.0, delta_cov)
+            cov_w = coverage + delta_cov   # pack-flux output weight
+            pack_sum = (sm.terms.advection - sm.terms.delta_cc
+                        + sm.terms.latent + sm.terms.latent_sub
+                        + sm.terms.sensible + sm.terms.refreeze_energy
+                        + sm.terms.advected_sensible)
+            melt_energy = jnp.where(
+                jnp.logical_and(snow_present, delta_cov > 0.0),
+                delta_cov * pack_sum, 0.0)
+
+            # pack->soil conduction coefficient (calc_surf_energy_bal.c:254:
+            # kappa_snow = K_SNOW*density^2/mean_depth; surface_fluxes.c:573
+            # passes the old/new mean depth)
+            mean_depth = 0.5 * (state.depth + depth)
+            kappa_snow = jnp.where(
+                depth > 0.0,
+                c.K_SNOW * density * density
+                / jnp.maximum(mean_depth, 1e-10), 0.0)
+
             # ---- surface energy balance on snow-free ground ----------------
-            net_short_bare = (1.0 - bare_albedo) * sw_in * (1.0 - coverage)
+            # just-exposed area reflects at the snow albedo
+            # (calc_surf_energy_bal.c:258-261 NetShortBare)
+            net_short_bare = sw_under * (
+                (1.0 - (coverage + delta_cov)) * (1.0 - bare_albedo)
+                + delta_cov * (1.0 - snow_alb))
             long_bare_in = (1.0 - coverage) * lw_in
 
             # ts-independent evap precomputations, hoisted out of the
@@ -496,6 +539,10 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 shortwave_net_bare=net_short_bare, long_bare_in=long_bare_in,
                 overstory_snowing=jnp.logical_and(p.overstory, snowing),
                 wdew=wdew0, rainfall=rainfall, snow_coverage=coverage,
+                # pack->soil conduction + coverage-reduction energy
+                # (func_surf_energy_bal.c:148-156,377)
+                kappa_snow=kappa_snow, tsnow_surf=surf_temp,
+                melt_energy=melt_energy,
                 evap_pre=evap_pre)
             if gp.dist_prcp:
                 # dry-lane column for the in-residual ET (canopy_evap.c
@@ -528,7 +575,8 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 glac_outflow=glac_outflow,
                 glac_water_storage=glac_water_storage,
                 density=density, depth=depth, coverage=coverage,
-                cov_state=cov_state,
+                cov_state=cov_state, cov_w=cov_w, delta_cov=delta_cov,
+                melt_energy=melt_energy,
                 melting=melting, net_short_bare=net_short_bare,
                 long_bare_in=long_bare_in, ts=ts, fb=fb, eb=eb)
 
@@ -545,7 +593,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
 
             def tc_update(r, tca):
                 under_sens = (r["eb"].sensible_heat
-                              + r["sm"].terms.sensible * r["coverage"])
+                              + r["sm"].terms.sensible * r["cov_w"])
                 in_sens = r["ci"].sensible + under_sens
                 ca = calc_atmos_energy_bal(in_sens, tair, air_dens,
                                            aero.resist.canopy)
@@ -593,7 +641,8 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
         glac_outflow = r["glac_outflow"]
         glac_water_storage = r["glac_water_storage"]
         density = r["density"]; depth = r["depth"]; coverage = r["coverage"]
-        cov_state = r["cov_state"]
+        cov_state = r["cov_state"]; cov_w = r["cov_w"]
+        delta_cov = r["delta_cov"]; melt_energy = r["melt_energy"]
         melting = r["melting"]; net_short_bare = r["net_short_bare"]
         long_bare_in = r["long_bare_in"]; ts = r["ts"]; fb = r["fb"]
         eb = r["eb"]
@@ -922,7 +971,14 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             (moist_f - wpwp_b).sum(-1)
             / jnp.maximum((B(p.max_moist) - wpwp_b).sum(-1), 1e-10), 0.0, 1.0))
 
-        rad_temp = agg((ts + c.KELVIN) ** 4) ** 0.25
+        # reported surface skin temperature: coverage-weighted blend of pack
+        # surface and soil surface (calc_surf_energy_bal.c:578-580
+        # energy->Tsurf); radiative temperature picks the canopy for
+        # snow-covered overstory lanes (put_data.c:1015-1019)
+        ts_blend = coverage * surf_temp + (1.0 - coverage) * ts
+        rt_lane = jnp.where(jnp.logical_and(p.overstory, snow_present),
+                            tcanopy, ts_blend)
+        rad_temp = agg((rt_lane + c.KELVIN) ** 4) ** 0.25
 
         # --- derived quantities for the extended put_data variable set ------
         zero_c = jnp.zeros_like(cell_runoff)
@@ -1001,7 +1057,11 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             "OUT_TFOL_FBFLAG": agg(tfol_fb.astype(ts.dtype)),
             "OUT_TCAN_FBFLAG": agg(tcanopy_fb.astype(ts.dtype)),
             "OUT_TCANOPY": agg(tcanopy),
-            "OUT_VEGT": agg(tfoliage_new),
+            # snow-free overstory reports Tfoliage, else the radiative
+            # surface temperature (put_data.c:1030-1036)
+            "OUT_VEGT": agg(jnp.where(
+                jnp.logical_and(p.overstory, ~snow_present),
+                tfoliage_new, rt_lane)),
             "OUT_RUNOFF": cell_runoff,
             "OUT_BASEFLOW": cell_baseflow,
             "OUT_INFLOW": agg(ppt_c),
@@ -1019,28 +1079,36 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                                 + sm.terms.net_long * coverage),
             # energy fluxes are NEGATED at output — the reference reports
             # them positive-upward while the internal convention is
-            # positive-toward-surface (put_data.c:1086-1102)
+            # positive-toward-surface (put_data.c:1086-1102). Pack fluxes
+            # weight by (coverage + delta_coverage) = the area the pack
+            # actually occupied this step (surface_fluxes.c:804-815,
+            # solve_snow.c:456-458)
             "OUT_LATENT": -agg(eb.latent_heat
-                               + (sm.terms.latent) * coverage),
+                               + (sm.terms.latent) * cov_w),
             "OUT_LATENT_SUB": -agg(eb.latent_heat_sub
-                                   + sm.terms.latent_sub * coverage),
+                                   + sm.terms.latent_sub * cov_w),
             "OUT_SENSIBLE": -agg(eb.sensible_heat
-                                 + sm.terms.sensible * coverage),
+                                 + sm.terms.sensible * cov_w),
             "OUT_GRND_FLUX": -agg(eb.grnd_flux),
             "OUT_DELTAH": -agg(eb.delta_h),
             "OUT_FUSION": -agg(eb.fusion),
-            "OUT_SNOW_FLUX": agg(sm.terms.grnd_flux * coverage),
-            "OUT_ADVECTION": agg(sm.terms.advection * coverage),
-            "OUT_DELTACC": agg(sm.terms.delta_cc * coverage),
-            "OUT_RFRZ_ENERGY": agg(jnp.maximum(
-                sm.terms.refreeze_energy, 0.0) * coverage),
-            "OUT_MELT_ENERGY": agg(jnp.minimum(
-                sm.terms.refreeze_energy, 0.0) * coverage),
+            # OUT_SNOW_FLUX reports the soil EB's pack-conduction term
+            # (store_snow_flux += soil_energy.snow_flux*(cov+dcov),
+            # surface_fluxes.c:810-812)
+            "OUT_SNOW_FLUX": agg(eb.snow_flux * cov_w),
+            "OUT_ADVECTION": agg(sm.terms.advection * cov_w),
+            "OUT_DELTACC": agg(sm.terms.delta_cc * cov_w),
+            # raw pack refreeze energy (negative = surface melt), as the
+            # reference reports it (put_data.c:1126)
+            "OUT_RFRZ_ENERGY": agg(sm.terms.refreeze_energy * cov_w),
+            # energy used in reducing the snow-covered area
+            # (put_data.c:1129 <- solve_snow.c melt_energy)
+            "OUT_MELT_ENERGY": agg(melt_energy),
             "OUT_ENERGY_ERROR": agg(energy_err),
             # --- temperatures / surface states ---
-            "OUT_SURF_TEMP": agg(ts),
+            "OUT_SURF_TEMP": agg(ts_blend),
             "OUT_RAD_TEMP": rad_temp,
-            "OUT_BARESOILT": agg(jnp.where(bare, ts, 0.0)),
+            "OUT_BARESOILT": agg(jnp.where(bare, ts_blend, 0.0)),
             "OUT_SNOW_SURF_TEMP": agg(surf_temp),
             "OUT_SNOW_PACK_TEMP": agg(pack_temp),
             "OUT_SOIL_TEMP": aggl(jnp.repeat(
@@ -1104,14 +1172,14 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                                - state.snow_canopy) * 1000.0),
             "OUT_DELINTERCEPT": agg(wdew_c - dw(wdew_w, wdew_d)),
             # refreeze flux in mm (put_data.c:591: RFRZ_ENERGY/Lf*dt)
-            "OUT_REFREEZE": agg(jnp.maximum(sm.terms.refreeze_energy, 0.0)
-                                * coverage) / c.LF * dt_sec,
+            "OUT_REFREEZE": agg(sm.terms.refreeze_energy * cov_w)
+            / c.LF * dt_sec,
             "OUT_SUB_SURFACE": agg(snow_sub_mm - sub_blow_lane),
             # sensible heat advected from snow-free patches onto the pack
             # (advected_sensible_heat.c:8, SPATIAL_SNOW only); negated and
             # coverage-weighted like the other pack terms
             # (put_data.c:1131, surface_fluxes.c:804-806)
-            "OUT_ADV_SENS": -agg(sm.terms.advected_sensible * coverage),
+            "OUT_ADV_SENS": -agg(sm.terms.advected_sensible * cov_w),
             "OUT_AERO_COND": agg_cond,
             "OUT_AERO_COND1": agg_cond1,
             "OUT_AERO_COND2": agg_cond2,
@@ -1156,9 +1224,9 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             outputs["OUT_SNOW_COVER_BAND"] = band_agg(coverage)
             outputs["OUT_ALBEDO_BAND"] = band_agg(albedo_under)
             outputs["OUT_LATENT_BAND"] = -band_agg(
-                eb.latent_heat + sm.terms.latent * coverage)
+                eb.latent_heat + sm.terms.latent * cov_w)
             outputs["OUT_SENSIBLE_BAND"] = -band_agg(
-                eb.sensible_heat + sm.terms.sensible * coverage)
+                eb.sensible_heat + sm.terms.sensible * cov_w)
             outputs["OUT_NET_SHORT_BAND"] = band_agg(
                 net_short_bare + net_short_snow * coverage)
             outputs["OUT_NET_LONG_BAND"] = band_agg(
@@ -1172,21 +1240,20 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             # extended band-resolved energy/glacier set (put_data.c
             # collect_eb_terms band accumulation, vicNl_def.h:548-560)
             outputs["OUT_ADVECTION_BAND"] = band_agg(
-                sm.terms.advection * coverage)
+                sm.terms.advection * cov_w)
             outputs["OUT_ADV_SENS_BAND"] = -band_agg(
-                sm.terms.advected_sensible * coverage)
+                sm.terms.advected_sensible * cov_w)
             outputs["OUT_DELTACC_BAND"] = band_agg(
-                sm.terms.delta_cc * coverage)
+                sm.terms.delta_cc * cov_w)
             outputs["OUT_GRND_FLUX_BAND"] = -band_agg(eb.grnd_flux)
             outputs["OUT_IN_LONG_BAND"] = band_agg(lw_in)
             outputs["OUT_LATENT_SUB_BAND"] = -band_agg(
-                eb.latent_heat_sub + sm.terms.latent_sub * coverage)
-            outputs["OUT_MELT_ENERGY_BAND"] = band_agg(jnp.minimum(
-                sm.terms.refreeze_energy, 0.0) * coverage)
-            outputs["OUT_RFRZ_ENERGY_BAND"] = band_agg(jnp.maximum(
-                sm.terms.refreeze_energy, 0.0) * coverage)
+                eb.latent_heat_sub + sm.terms.latent_sub * cov_w)
+            outputs["OUT_MELT_ENERGY_BAND"] = band_agg(melt_energy)
+            outputs["OUT_RFRZ_ENERGY_BAND"] = band_agg(
+                sm.terms.refreeze_energy * cov_w)
             outputs["OUT_SNOW_FLUX_BAND"] = band_agg(
-                sm.terms.grnd_flux * coverage)
+                eb.snow_flux * cov_w)
             outputs["OUT_SNOW_PACKT_BAND"] = band_agg(pack_temp)
             outputs["OUT_SNOW_SURFT_BAND"] = band_agg(surf_temp)
             outputs["OUT_GLAC_ACCUM_BAND"] = band_agg(glac_firn_mm)
@@ -1280,9 +1347,12 @@ def gs_wind_h(p: DeviceParams, veg_displ):
 
 
 def surf_atten_of(lai, p: DeviceParams):
-    """Canopy shortwave attenuation exp(-rad_atten * LAI) for overstory
-    (full_energy.c surf_atten), 1 otherwise."""
-    return jnp.where(p.overstory, jnp.exp(-p.rad_atten * lai), 1.0)
+    """Surface attenuation exp(-rad_atten * LAI) for EVERY vegetated lane —
+    not just overstory (full_energy.c:282); 1 on bare/glacier lanes. It damps
+    the ground-heat/storage terms in the surface EB (func_surf_energy_bal.c
+    cover_atten) and, for overstory, attenuates understory shortwave."""
+    return jnp.where(p.is_bare | p.is_glacier, 1.0,
+                     jnp.exp(-p.rad_atten * lai))
 
 
 def run(state: ModelState, forcing_stacked: dict, params: DeviceParams, gp,

@@ -426,8 +426,10 @@ def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
 
     brent_active = ~melt_cond if active_mask is None else \
         jnp.logical_and(~melt_cond, active_mask)
+    # bracket expansion applies to ALL RootBrent functors, this one included
+    # (root_brent.c:183-190: MAXTRIES x TSTEP widening)
     res = batched_brent(resid, old_tsurf - c.SNOW_DT, old_tsurf + c.SNOW_DT,
-                        max_iter=max_iter, max_tries=1, active=brent_active)
+                        max_iter=max_iter, active=brent_active)
     ok = res.converged
     b_surf_temp = jnp.where(ok, res.root, old_tsurf)  # TFALLBACK
     fbflag = jnp.logical_and(~ok, ~melt_cond)

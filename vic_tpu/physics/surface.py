@@ -77,18 +77,28 @@ def surf_energy_terms(
         max_moist_l,
         # snow coupling
         snow_coverage, surf_atten, include_snow=False, snow_terms=None,
+        kappa_snow=None, tsnow_surf=None, melt_energy=None,
         grnd_flux_type: int = 1, frozen_soil: bool = False,
         compute_evap: bool = True, dist_dry: dict = None,
         mu_wet=None, evap_pre: dict = None,
         evap_pre_dry: dict = None) -> SurfEBResult:
-    """Evaluate every term of the surface energy balance at candidate Ts."""
+    """Evaluate every term of the surface energy balance at candidate Ts.
+
+    kappa_snow/tsnow_surf: pack->soil conduction coupling for snow-covered
+    lanes (func_surf_energy_bal.c:148-156: snow_flux = kappa_snow *
+    (Tsnow_surf - Ts), weighted by snow_coverage in the residual;
+    kappa_snow = K_SNOW*density^2/depth, calc_surf_energy_bal.c:254).
+    melt_energy: energy used in reducing the snow-covered area
+    (solve_snow.c:421-448), an additional residual source term."""
     tmean = ts
     tkelv = tmean + c.KELVIN
 
-    # thin-snow pack flux (func_surf_energy_bal.c:150-161)
+    # pack conduction / thin-snow flux (func_surf_energy_bal.c:148-161)
     if include_snow and snow_terms is not None:
         kappa_snow, tsnow_surf, snow_swq, snow_water, snow_density, old_tsurf \
             = snow_terms
+        snow_flux = kappa_snow * (tsnow_surf - tmean)
+    elif kappa_snow is not None:
         snow_flux = kappa_snow * (tsnow_surf - tmean)
     else:
         snow_flux = jnp.zeros_like(tmean)
@@ -228,6 +238,10 @@ def surf_energy_terms(
 
     error = (net_bare_rad + sensible + latent_heat + latent_heat_sub
              + snow_flux * snow_coverage - delta_cc)
+    if melt_energy is not None:
+        # energy used in reducing the snow-covered area enters the exposed
+        # ground's balance (func_surf_energy_bal.c:377 "+ melt_energy")
+        error = error + melt_energy
     if include_snow and snow_terms is not None:
         melt_branch = jnp.logical_and(tsnow_surf == 0.0,
                                       error > -refreeze_energy)

@@ -92,10 +92,21 @@ class ModelState:
 
 
 def initial_state(domain, gp, surf_temp_init=None, dtype=jnp.float32,
-                  lake_params=None) -> ModelState:
-    """Cold-start state (initialize_model_state.c:505-545 QUICK_FLUX case:
-    node temps = [surf_temp, surf_temp, avg_temp]; layer moisture from
-    soil init_moist; everything else zero)."""
+                  lake_params=None, geom=None) -> ModelState:
+    """Cold-start state (initialize_model_state.c).
+
+    surf_temp_init: initial surface temperature per cell. The reference uses
+    the FIRST-STEP AIR TEMPERATURE clamped to >= -1 C
+    (initialize_model_state.c:138-147), NOT the annual average — the deep
+    node's thermal inertia makes this matter for months. Callers with
+    forcing in hand (the driver) must pass it; the avg_temp default is a
+    fallback for synthetic tests.
+
+    Node temperatures: QUICK_FLUX -> [surf, surf, avg_temp]
+    (initialize_model_state.c:520-524); finite-difference -> the reference's
+    exponential profile T(z) = avg + (surf - avg)*exp(-Zsum) via `geom`
+    (initialize_model_state.c:553-585 exp_interp — note the reference's
+    exp_interp ignores dp, modify_Ksat.c:11-13)."""
     n_cell, max_hru = domain.hru.mask.shape
     nl = domain.soil.depth.shape[1]
     n_node = max(gp.nnode, 3)
@@ -108,12 +119,25 @@ def initial_state(domain, gp, surf_temp_init=None, dtype=jnp.float32,
 
     if surf_temp_init is None:
         surf_temp_init = jnp.asarray(domain.soil.avg_temp, dtype)
+    else:
+        # clamp like the reference (initialize_model_state.c:147)
+        surf_temp_init = jnp.maximum(
+            jnp.asarray(surf_temp_init, dtype), -1.0)
     t_surf = jnp.broadcast_to(surf_temp_init[:, None], sh)
-    t_bot = jnp.broadcast_to(
-        jnp.asarray(domain.soil.avg_temp, dtype)[:, None], sh)
-    node_temp = jnp.concatenate(
-        [t_surf[..., None], t_surf[..., None],
-         jnp.repeat(t_bot[..., None], n_node - 2, axis=-1)], axis=-1)
+    avg = jnp.asarray(domain.soil.avg_temp, dtype)
+    t_bot = jnp.broadcast_to(avg[:, None], sh)
+    fd_nodes = gp.frozen_soil and not gp.quick_flux and geom is not None
+    if fd_nodes:
+        # T(z) = avg + (surf-avg)*exp(-z); surface exact, bottom = avg
+        zsum = jnp.asarray(geom.zsum, dtype)[:, None, :]     # [c,1,nn]
+        prof = (avg[:, None, None]
+                + (t_surf[..., None] - avg[:, None, None])
+                * jnp.exp(-zsum))
+        node_temp = prof.at[..., -1].set(t_bot)
+    else:
+        node_temp = jnp.concatenate(
+            [t_surf[..., None], t_surf[..., None],
+             jnp.repeat(t_bot[..., None], n_node - 2, axis=-1)], axis=-1)
 
     from .constants import MAX_LAKE_NODES
     if lake_params is not None:
