@@ -167,3 +167,72 @@ def test_forcing_stats():
     s = forcing_stats(f)
     assert s["prec"]["mean"] == 2.0
     assert s["prec"]["max"] == 4.0
+
+
+class TestLocalSolarTimeShift:
+    """hour_offset = (time_zone_lng - lng)*24/360 (initialize_atmos.c:125):
+    the disaggregated diurnal cycle is generated in local solar time and
+    sampled on the forcing-time-zone model axis."""
+
+    def _forc(self, lng_off_deg):
+        import dataclasses
+        gp = GlobalParams(dt=1, nrecs=24 * 10, startyear=1995)
+        dom = synthetic_domain(n_cell=2)
+        soil = dom.soil
+        # cell 0 at the time-zone center; cell 1 lng_off_deg west of it
+        lng = np.array([-120.0, -120.0 + lng_off_deg])
+        soil = dataclasses.replace(soil, lng=lng,
+                                   lat=np.array([51.0, 51.0]),
+                                   elevation=np.array([1000.0, 1000.0]),
+                                   off_gmt=np.array([-120.0, -120.0]))
+        dom = dataclasses.replace(dom, soil=soil)
+        ax = make_time_axis(1995, 6, 1, 0, 24 * 10, 1)
+        n_day = 10
+        tmax = np.full((n_day, 2), 25.0)
+        tmin = np.full((n_day, 2), 10.0)
+        prec = np.zeros((n_day, 2))
+        return build_model_forcing(
+            {"TMAX": tmax, "TMIN": tmin, "PREC": prec}, gp, dom, ax)
+
+    def test_sw_peak_shifts_with_longitude(self):
+        # 90 degrees east of the zone center -> hour_offset = +6: the local
+        # solar noon arrives 6 forcing-clock hours EARLIER
+        forc = self._forc(+90.0)
+        day = slice(24 * 5, 24 * 6)
+        peak0 = int(np.argmax(forc["shortwave"][day, 0]))
+        peak1 = int(np.argmax(forc["shortwave"][day, 1]))
+        assert (peak0 - peak1) % 24 == 6
+
+    def test_zero_offset_cells_match(self):
+        forc = self._forc(0.0)
+        np.testing.assert_allclose(forc["shortwave"][:, 0],
+                                   forc["shortwave"][:, 1], rtol=1e-6)
+        np.testing.assert_allclose(forc["air_temp"][:, 0],
+                                   forc["air_temp"][:, 1], rtol=1e-6)
+
+    def test_daily_precip_conserved_under_shift(self):
+        import dataclasses
+        gp = GlobalParams(dt=3, nrecs=8 * 10, startyear=1995)
+        dom = synthetic_domain(n_cell=2)
+        soil = dataclasses.replace(
+            dom.soil, lng=np.array([-120.0, -75.0]),
+            lat=np.array([51.0, 51.0]),
+            elevation=np.array([1000.0, 1000.0]),
+            off_gmt=np.array([-120.0, -120.0]))
+        dom = dataclasses.replace(dom, soil=soil)
+        ax = make_time_axis(1995, 6, 1, 0, 8 * 10, 3)
+        rng = np.random.default_rng(7)
+        prec = np.where(rng.random((10, 2)) < 0.5, 5.0, 0.0)
+        tmax = np.full((10, 2), 20.0)
+        forc = build_model_forcing(
+            {"TMAX": tmax, "TMIN": tmax - 10.0, "PREC": prec}, gp, dom, ax)
+        # total precip conserved over the run; day boundaries shift by the
+        # 3-hour offset (local days start earlier on the forcing clock for
+        # a cell east of the zone center), so only the totals line up
+        np.testing.assert_allclose(
+            forc["prec"][:, 1].sum(), prec[:, 1].sum(), rtol=1e-5)
+        np.testing.assert_allclose(
+            forc["prec"][:, 0].sum(), prec[:, 0].sum(), rtol=1e-5)
+        # the shifted cell's daily boxes no longer match the file days
+        daily_model = forc["prec"][:, 1].reshape(10, 8).sum(1)
+        assert not np.allclose(daily_model, prec[:, 1])

@@ -237,55 +237,73 @@ def build_model_forcing(supplied: Dict[str, np.ndarray], gp, domain,
         raise ValueError(
             "forcing must supply AIR_TEMP+PREC (model step) or "
             "TMAX+TMIN+PREC (daily)")
-    steps = max(1, 24 // gp.dt) if gp.dt < 24 else 1
     steps_per_day = 24 // gp.dt if gp.dt <= 24 else 1
     n_day = n_rec * gp.dt // 24
 
-    tmax_d = supplied["TMAX"][:n_day].T       # -> [n_cell, n_day]
-    tmin_d = supplied["TMIN"][:n_day].T
-    prec_d = supplied["PREC"][:n_day].T
-    # yearday series of the daily axis
-    day_stride = 24 // gp.dt
-    ydays = timeaxis.day_in_year[::day_stride][:n_day]
+    # Local-solar-time shift (initialize_atmos.c:125,150-225,361-372):
+    # MTCLIM and the disaggregation run on a LOCAL solar-time hourly axis;
+    # the model record axis is in the forcing time zone (soil time_zone_lng,
+    # stored as soil.off_gmt in DEGREES of longitude). Each model hour h
+    # samples local hour h - hour_offset with hour_offset =
+    # round((time_zone_lng - lng)*24/360), per cell. We generate the local
+    # series with one pad day on each side, gather per cell, and aggregate
+    # hourly windows into model steps (the reference's SNOW_STEP averaging
+    # loops, initialize_atmos.c:406-430).
+    hour_offset = np.rint(
+        (np.asarray(soil.off_gmt) - np.asarray(soil.lng)) * 24.0 / 360.0
+    ).astype(np.int64)
+    hour_offset = np.clip(hour_offset, -23, 23)
 
-    mt = mtclim_run(soil.lat, soil.elevation, ydays, prec_d, tmax_d, tmin_d,
-                    sw_prec_thresh=gp.sw_prec_thresh,
+    def pad_daily(v_d):
+        # edge-replicate one day at each end (the reference clamps the
+        # daily index at the series edges, initialize_atmos.c:361-366)
+        return np.concatenate([v_d[:, :1], v_d, v_d[:, -1:]], axis=1)
+
+    tmax_d = pad_daily(supplied["TMAX"][:n_day].T)    # [n_cell, n_day+2]
+    tmin_d = pad_daily(supplied["TMIN"][:n_day].T)
+    prec_d = pad_daily(supplied["PREC"][:n_day].T)
+    # yearday series of the padded daily axis
+    day_stride = 24 // gp.dt
+    ydays = np.asarray(timeaxis.day_in_year[::day_stride][:n_day])
+    yd0 = ydays[0] - 1 if ydays[0] > 1 else 365
+    yd1 = ydays[-1] + 1 if ydays[-1] < 365 else 1
+    ydays_p = np.concatenate([[yd0], ydays, [yd1]])
+    n_day_p = n_day + 2
+
+    mt = mtclim_run(soil.lat, soil.elevation, ydays_p, prec_d, tmax_d,
+                    tmin_d, sw_prec_thresh=gp.sw_prec_thresh,
                     mtclim_swe_corr=gp.mtclim_swe_corr,
-                    vp_iter=int(gp.vp_iter), steps_per_day=max(steps_per_day,
-                                                               1))
+                    vp_iter=int(gp.vp_iter), steps_per_day=24)
 
     # hourly radiation cycle for tmin/tmax hour detection (always at 24/day)
-    geo24 = mt["radfract"] if steps_per_day == 24 else None
-    if geo24 is None:
-        from .mtclim import solar_geometry
-        geo24 = solar_geometry(soil.lat, soil.elevation, 24)["radfract"]
-    rf24 = geo24[:, np.asarray(ydays) - 1, :]          # [n_cell, n_day, 24]
+    rf24 = mt["radfract"][:, ydays_p - 1, :]        # [n_cell, n_day_p, 24]
     tmin_h, tmax_h = set_max_min_hour(rf24)
 
-    if gp.dt < 24:
-        air_sub = hourly_temperature(tmin_d, tmax_d, tmin_h, tmax_h,
-                                     steps_per_day)   # [n_cell, nstep]
-        air_temp = air_sub.T
-        # SW: daylight-average srad spread by radfract per sub-step;
-        # srad (W/m2 daylight avg) * daylength = daily J -> per-step W/m2
-        rf = mt["radfract"][:, np.asarray(ydays) - 1, :]
-        daily_j = mt["srad"] * mt["daylength"]        # [n_cell, n_day]
-        step_sec = gp.dt * 3600.0
-        sw = (daily_j[..., None] * rf / step_sec)     # W/m2 per sub-step
-        sw = sw.reshape(n_cell, -1).T
-        vp_daily = mt["pva"]
-        vp = np.repeat(vp_daily, steps_per_day, axis=1).T
-        prec = np.repeat(prec_d / steps_per_day, steps_per_day, axis=1).T
-        tskc = np.repeat(mt["tskc"], steps_per_day, axis=1).T
-    else:
-        # daily model step: 24-h mean temperature from the hourly spline
-        air_hourly = hourly_temperature(tmin_d, tmax_d, tmin_h, tmax_h, 24)
-        air_temp = air_hourly.reshape(n_cell, n_day, 24).mean(-1).T
-        # daily-mean SW = srad * daylength / 86400
-        sw = (mt["srad"] * mt["daylength"] / 86400.0).T
-        vp = mt["pva"].T
-        prec = prec_d.T
-        tskc = mt["tskc"].T
+    # hourly LOCAL series, [n_cell, n_day_p*24]
+    air_h = hourly_temperature(tmin_d, tmax_d, tmin_h, tmax_h, 24)
+    daily_j = mt["srad"] * mt["daylength"]          # [n_cell, n_day_p]
+    sw_h = (daily_j[..., None] * rf24 / 3600.0).reshape(n_cell, -1)
+    prec_h = np.repeat(prec_d / 24.0, 24, axis=1)
+    vp_h = np.repeat(mt["pva"], 24, axis=1)
+    tskc_h = np.repeat(mt["tskc"], 24, axis=1)
+
+    # per-cell shift onto the forcing time axis; hour h of the run maps to
+    # local index 24 + h - hour_offset
+    n_hours = n_day * 24
+    idx = (24 - hour_offset)[:, None] + np.arange(n_hours)[None, :]
+
+    def localize(h):
+        return np.take_along_axis(h, idx, axis=1)    # [n_cell, n_hours]
+
+    def to_steps(h, extensive=False):
+        w = localize(h).reshape(n_cell, n_rec, gp.dt)
+        return (w.sum(-1) if extensive else w.mean(-1)).T  # [n_rec, n_cell]
+
+    air_temp = to_steps(air_h)
+    sw = to_steps(sw_h)
+    vp = to_steps(vp_h)
+    prec = to_steps(prec_h, extensive=True)
+    tskc = to_steps(tskc_h)
 
     def fit(name):
         # daily-supplied extras on the sub-daily model axis: uniform repeat

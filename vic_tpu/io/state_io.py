@@ -75,6 +75,14 @@ _NAME_MAP = {
     "lake_ice_area": "LAKE_AREAI",
     "lake_ice_height": "LAKE_HICE",
     "lake_swe": "LAKE_SWE",
+    "lake_tempi": "LAKE_TEMPI",
+    "lake_snow_surf_temp": "LAKE_SNOW_SURF_TEMP",
+    "lake_snow_pack_temp": "LAKE_SNOW_PACK_TEMP",
+    "lake_snow_surf_water": "LAKE_SNOW_SURF_WATER",
+    "lake_snow_pack_water": "LAKE_SNOW_PACK_WATER",
+    "lake_salbedo": "LAKE_SALBEDO",
+    "lake_last_snow": "LAKE_SNOW_LAST_SNOW",
+    "lake_melting": "LAKE_SNOW_MELTING",
 }
 _REV_MAP = {v: k for k, v in _NAME_MAP.items()}
 

@@ -202,7 +202,10 @@ def write_state_legacy(path: str, state: ModelState, gp, domain, date=None,
         "tfoliage", "glac_water_storage", "glac_cum_mass_balance",
         "glac_surf_temp", "surf_temp_fbcount", "snow_temp_fbcount",
         "lake_volume", "lake_temp", "lake_ice_we", "lake_ice_area",
-        "lake_ice_height", "lake_swe")}
+        "lake_ice_height", "lake_swe", "lake_tempi", "lake_snow_surf_temp",
+        "lake_snow_pack_temp", "lake_snow_surf_water",
+        "lake_snow_pack_water", "lake_salbedo", "lake_last_snow",
+        "lake_melting")}
     n_cell = s["swq"].shape[0]
     nl = s["moist"].shape[-1]
     nn = s["node_temp"].shape[-1]
@@ -278,11 +281,14 @@ def write_state_legacy(path: str, state: ModelState, gp, domain, date=None,
             for _dist in range(ndist):
                 w.dbls(*s["moist"][ci, 0])   # lake soil column not separate
                 w.dbls(*s["ice"][ci, 0])
-            w.ints(0)                 # last_snow
-            w.bools(False)            # MELTING
-            w.dbls(0.0,               # coverage
-                   s["lake_swe"][ci],  # swq (m)
-                   0.0, 0.0, 0.0, 0.0,  # surf_temp surf_water pack_t pack_w
+            w.ints(int(s["lake_last_snow"][ci]))
+            w.bools(bool(s["lake_melting"][ci]))
+            w.dbls(1.0 if s["lake_swe"][ci] > 0 else 0.0,  # coverage
+                   s["lake_swe"][ci],                      # swq (m)
+                   s["lake_snow_surf_temp"][ci],
+                   s["lake_snow_surf_water"][ci],
+                   s["lake_snow_pack_temp"][ci],
+                   s["lake_snow_pack_water"][ci],
                    0.0, 0.0, 0.0)       # density coldcontent snow_canopy
             w.dbls(*s["node_temp"][ci, 0])
             w.ints(n_lnode)
@@ -293,9 +299,14 @@ def write_state_legacy(path: str, state: ModelState, gp, domain, date=None,
             w.dbls(0.0, s["lake_volume"][ci])
             w.dbls(*s["lake_temp"][ci])
             w.dbls(float(np.mean(s["lake_temp"][ci])),
-                   s["lake_ice_area"][ci], 0.0, s["lake_ice_we"][ci],
-                   s["lake_ice_height"][ci], 0.0, s["lake_swe"][ci],
-                   0.0, 0.0, 0.85, s["lake_swe"][ci])
+                   s["lake_ice_area"][ci], s["lake_ice_area"][ci],
+                   s["lake_ice_we"][ci],
+                   s["lake_ice_height"][ci], s["lake_tempi"][ci],
+                   s["lake_swe"][ci],
+                   s["lake_snow_surf_temp"][ci],
+                   s["lake_snow_pack_temp"][ci],
+                   s["lake_salbedo"][ci],
+                   s["lake_swe"][ci] * 1000.0 / 250.0)
             w.newline()
         w.end_cell_record()
     fh.close()
@@ -325,7 +336,10 @@ def load_state_legacy(path: str, gp, domain, template: ModelState,
         "tfoliage", "glac_water_storage", "glac_cum_mass_balance",
         "glac_surf_temp", "surf_temp_fbcount", "snow_temp_fbcount",
         "lake_volume", "lake_temp", "lake_ice_we", "lake_ice_area",
-        "lake_ice_height", "lake_swe")}
+        "lake_ice_height", "lake_swe", "lake_tempi", "lake_snow_surf_temp",
+        "lake_snow_pack_temp", "lake_snow_surf_water",
+        "lake_snow_pack_water", "lake_salbedo", "lake_last_snow",
+        "lake_melting")}
     nl = tmpl["moist"].shape[-1]
     nn = tmpl["node_temp"].shape[-1]
     if nl_f != nl or nn_f != nn:
@@ -396,17 +410,24 @@ def load_state_legacy(path: str, gp, domain, template: ModelState,
             for _dist in range(ndist):
                 r.dbls(nl)
                 r.dbls(nl)
-            r.ints(1)
-            r.bools(1)
-            r.dbls(9)
+            tmpl["lake_last_snow"][ci] = r.ints(1)[0]
+            tmpl["lake_melting"][ci] = r.bools(1)[0]
+            (_cov, _swq9, l_st, l_sw, l_pt, l_pw,
+             _dens, _cc, _can) = r.dbls(9)
+            tmpl["lake_snow_surf_temp"][ci] = l_st
+            tmpl["lake_snow_surf_water"][ci] = l_sw
+            tmpl["lake_snow_pack_temp"][ci] = l_pt
+            tmpl["lake_snow_pack_water"][ci] = l_pw
             r.dbls(nn)
             activenod = r.ints(1)[0]
             r.dbls(3)
             r.dbls(activenod)
             _sarea, vol = r.dbls(2)
             temps = r.dbls(activenod)
-            (_tavg, areai, _new_ice, ice_we, hice, _tempi, swe,
-             _st, _pt, _salb, _sdep) = r.dbls(11)
+            (_tavg, areai, _new_ice, ice_we, hice, tempi, swe,
+             _st, _pt, salb, _sdep) = r.dbls(11)
+            tmpl["lake_tempi"][ci] = tempi
+            tmpl["lake_salbedo"][ci] = salb
             tmpl["lake_volume"][ci] = vol
             tmpl["lake_temp"][ci, :min(activenod, n_lnode)] = \
                 temps[:min(activenod, n_lnode)]

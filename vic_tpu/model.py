@@ -757,8 +757,6 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             lp_l = lake_params
             cell_area = p.cell_area
             rperc = jnp.asarray(lp_l.rpercent, cell_runoff.dtype)
-            r_in = rperc * cell_runoff / 1000.0 * cell_area
-            b_in = rperc * cell_baseflow / 1000.0 * cell_area
             # wetland host tile = first valid non-glacier band-0 lane (the
             # reference attaches the lake to the lake_idx veg tile,
             # read_lakeparam.c:70-90; here the leading tile stands in)
@@ -771,25 +769,63 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 cand.any(1)[:, None])
             take_wl = lambda x: jnp.take_along_axis(
                 x, wl_idx[:, None, None], 1)[:, 0]
+            take_wl2 = lambda x: jnp.take_along_axis(
+                jnp.asarray(x), wl_idx[:, None], 1)[:, 0]
+            # the wetland tile routes ALL of its runoff/baseflow into the
+            # lake; other tiles contribute rpercent (full_energy.c:740-767)
+            wl_w = (w * wl_mask).sum(-1)
+            wet_ro = ((runoff_c + glac_outflow) * w * wl_mask).sum(-1)
+            wet_bf = (baseflow_c * w * wl_mask).sum(-1)
+            oth_ro = cell_runoff - wet_ro
+            oth_bf = cell_baseflow - wet_bf
+            r_in = (oth_ro * rperc + wet_ro) / 1000.0 * cell_area
+            b_in = (oth_bf * rperc + wet_bf) / 1000.0 * cell_area
+            # cell-level rain/snow partition for the lake column
+            # (full_energy.c:769-781; gauge correction not reapplied here)
+            tair_c = forcing["air_temp"]
+            rainonly_c = calc_rainonly(
+                tair_c, forcing["prec"], jnp.asarray(p.max_snow_temp),
+                jnp.asarray(p.min_rain_temp), int(gp.temp_th_type))
+            vpd_c = jnp.maximum(svp_fn(tair_c) - forcing["vp"], 0.0)
             lstate = LakeState(
                 volume=state.lake_volume, temp=state.lake_temp,
                 ice_water_eq=state.lake_ice_we,
                 ice_area=state.lake_ice_area,
-                ice_height=state.lake_ice_height, swe=state.lake_swe)
+                ice_height=state.lake_ice_height, swe=state.lake_swe,
+                tempi=state.lake_tempi,
+                surf_temp=state.lake_snow_surf_temp,
+                pack_temp=state.lake_snow_pack_temp,
+                surf_water=state.lake_snow_surf_water,
+                pack_water=state.lake_snow_pack_water,
+                salbedo=state.lake_salbedo,
+                last_snow=state.lake_last_snow,
+                melting=state.lake_melting)
+            wl_ice_bot = take_wl(dwl(ice_new, ice_new_d))[..., -1] \
+                / jnp.maximum(jnp.asarray(p.max_moist,
+                                          cell_runoff.dtype)[..., -1], 1.0)
             lres = lake_step(
                 lp_l, lstate,
-                tair=forcing["air_temp"], wind=forcing["wind"],
+                tair=tair_c, wind=forcing["wind"],
                 sw_in=forcing["shortwave"], lw_in=forcing["longwave"],
-                vp_air=forcing["vp"], pressure=forcing["pressure"],
-                prec_mm=forcing["prec"],
-                snowfall_mm=jnp.where(forcing["air_temp"] < 0.0,
-                                      forcing["prec"], 0.0),
+                vp_air=forcing["vp"], vpd=vpd_c,
+                pressure=forcing["pressure"],
+                air_density=forcing["density"],
+                rainfall_mm=rainonly_c,
+                snowfall_mm=forcing["prec"] - rainonly_c,
                 runoff_in_m3=r_in, baseflow_in_m3=b_in,
-                lat=p.lat, elevation=p.elevation, ds=p.ds, dsmax=p.dsmax,
-                ws_arno=p.ws, c_arno=p.c_expt, dt_sec=dt_sec,
+                lat=p.lat, day_in_year=doy,
+                wind_h=take_wl2(p.wind_h),
+                snow_rough=jnp.asarray(p.snow_rough),
+                new_snow_alb=jnp.asarray(p.new_snow_alb),
+                alb_accum_a=jnp.asarray(p.snow_alb_accum_a),
+                alb_accum_b=jnp.asarray(p.snow_alb_accum_b),
+                alb_thaw_a=jnp.asarray(p.snow_alb_thaw_a),
+                alb_thaw_b=jnp.asarray(p.snow_alb_thaw_b),
+                ds=p.ds, dsmax=p.dsmax, ws_arno=p.ws, dt_sec=dt_sec,
                 wetland_moist=take_wl(dwl(moist_wet_f, moist_dry_f)),
                 wetland_max_moist=jnp.asarray(p.max_moist,
-                                              cell_runoff.dtype))
+                                              cell_runoff.dtype),
+                wetland_bottom_ice=wl_ice_bot)
             # wetland recharge: saturate the flooded fringe's soil from lake
             # water (lakes.eb.c:2046-2096); applied to both moisture columns
             dmo = lres.wetland_dmoist_mm
@@ -798,9 +834,9 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             moist_dry_f = moist_dry_f + add
             recharge_lane_mm = wl_mask * dmo.sum(-1)[:, None]
             to_mm = 1000.0 / cell_area
-            cell_runoff = ((1.0 - rperc) * cell_runoff
+            cell_runoff = ((1.0 - rperc) * oth_ro
                            + lres.runoff_out_m3 * to_mm)
-            cell_baseflow = ((1.0 - rperc) * cell_baseflow
+            cell_baseflow = ((1.0 - rperc) * oth_bf
                              + lres.baseflow_out_m3 * to_mm)
             lake_evap_mm = lres.evap_m3 * to_mm
             lake_out = {
@@ -822,20 +858,15 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                     lres.state.ice_water_eq
                     / jnp.maximum(lres.state.ice_area, 1.0)
                     * c.ICE_DENSITY / c.RHO_W, 0.0),
-                # no separate ice-slab temperature state: the lake surface
-                # temperature stands in when ice is present (deviation from
-                # lake_var.tempi, documented)
+                # ice/snow slab surface temperature (lake_var.tempi)
                 "OUT_LAKE_ICE_TEMP": jnp.where(
-                    lres.state.ice_area > 0.0,
-                    jnp.minimum(lres.surf_temp, 0.0), 0.0),
-                "OUT_LAKE_SWE": lres.state.swe,                    # m over ice
-                "OUT_LAKE_SWE_V": lres.state.swe
-                * jnp.maximum(lres.state.ice_area, 0.0),           # m3
-                "OUT_LAKE_DSWE_V": (lres.state.swe * lres.state.ice_area
-                                    - state.lake_swe * state.lake_ice_area),
-                "OUT_LAKE_DSWE": (lres.state.swe * lres.state.ice_area
-                                  - state.lake_swe * state.lake_ice_area)
-                * to_mm,
+                    lres.state.ice_area > 0.0, lres.state.tempi, 0.0),
+                "OUT_LAKE_SWE": lres.state.swe,              # m over lake
+                "OUT_LAKE_SWE_V": lres.state.swe * lres.sarea,     # m3
+                "OUT_LAKE_DSWE_V": (lres.state.swe - state.lake_swe)
+                * lres.sarea,
+                "OUT_LAKE_DSWE": (lres.state.swe - state.lake_swe)
+                * lres.sarea * to_mm,
                 "OUT_LAKE_DSTOR_V": lres.state.volume - state.lake_volume,
                 "OUT_LAKE_DSTOR": (lres.state.volume - state.lake_volume)
                 * to_mm,
@@ -855,14 +886,17 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 "OUT_LAKE_CHAN_OUT_V": lres.runoff_out_m3,
                 "OUT_LAKE_CHAN_OUT": lres.runoff_out_m3 * to_mm,
                 "OUT_LAKE_EVAP_V": lres.evap_m3,
-                "OUT_LAKE_PREC_V": forcing["prec"] / 1000.0 * lres.sarea,
+                "OUT_LAKE_PREC_V": lres.precip_in_m3,
                 "OUT_LAKE_RCHRG_V": lres.recharge_m3,
                 "OUT_LAKE_RO_IN_V": r_in,
                 "OUT_LAKE_RO_IN": r_in * to_mm,
-                # lake snow sublimation is folded into the lake evaporation
-                # term rather than tracked separately
-                "OUT_LAKE_VAPFLX_V": jnp.zeros_like(b_in),
-                "OUT_LAKE_VAPFLX": jnp.zeros_like(cell_runoff),
+                # pack + lake-ice sublimation (ice_melt.c vapor_flux)
+                "OUT_LAKE_VAPFLX_V": lres.vapor_flux_m3,
+                "OUT_LAKE_VAPFLX": lres.vapor_flux_m3 * to_mm,
+                # lake-column closure telemetry (new; the reference folds
+                # the lake into calc_water_balance_error)
+                "OUT_LAKE_WATER_ERROR": lres.water_error_mm,
+                "OUT_LAKE_ENERGY_ERROR": lres.energy_error,
                 # soil node temperatures under the wetland tile
                 # (put_data.c:368: lake_var energy.T overridden by wetland)
                 "OUT_SOIL_TNODE_WL": take_wl(node_temp),
@@ -872,7 +906,14 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 lake_ice_we=lres.state.ice_water_eq,
                 lake_ice_area=lres.state.ice_area,
                 lake_ice_height=lres.state.ice_height,
-                lake_swe=lres.state.swe)
+                lake_swe=lres.state.swe, lake_tempi=lres.state.tempi,
+                lake_snow_surf_temp=lres.state.surf_temp,
+                lake_snow_pack_temp=lres.state.pack_temp,
+                lake_snow_surf_water=lres.state.surf_water,
+                lake_snow_pack_water=lres.state.pack_water,
+                lake_salbedo=lres.state.salbedo,
+                lake_last_snow=lres.state.last_snow,
+                lake_melting=lres.state.melting)
             # flooded-fringe output weighting (put_data.c:282-330
             # lakefactor): the open-water area displaces the wetland tile
             # in all cell aggregates, so land variables average over the
@@ -892,7 +933,14 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 lake_ice_we=state.lake_ice_we,
                 lake_ice_area=state.lake_ice_area,
                 lake_ice_height=state.lake_ice_height,
-                lake_swe=state.lake_swe)
+                lake_swe=state.lake_swe, lake_tempi=state.lake_tempi,
+                lake_snow_surf_temp=state.lake_snow_surf_temp,
+                lake_snow_pack_temp=state.lake_snow_pack_temp,
+                lake_snow_surf_water=state.lake_snow_surf_water,
+                lake_snow_pack_water=state.lake_snow_pack_water,
+                lake_salbedo=state.lake_salbedo,
+                lake_last_snow=state.lake_last_snow,
+                lake_melting=state.lake_melting)
 
         # Without DIST_PRCP the dry columns are inert: pass the carried
         # arrays through untouched so XLA elides the copies. They are never

@@ -276,6 +276,14 @@ OUTVAR_META: Dict[str, OutVarMeta] = {
     # lake variables (variable_mapping.c:62-67)
     "OUT_LAKE_DEPTH": _M("m", "LAKE_DEPTH", "", "Lake depth",
                          "time: point area: point", AGG_END),
+    # vic-tpu extensions: per-step lake closure telemetry (the reference
+    # folds the lake into calc_water_balance_error)
+    "OUT_LAKE_WATER_ERROR": _M("mm", "LAKE_WATER_ERROR", "",
+                               "Lake water budget residual over lake area",
+                               "time: mean area: mean", AGG_SUM),
+    "OUT_LAKE_ENERGY_ERROR": _M("W m-2", "LAKE_ENERGY_ERROR", "",
+                                "Lake energy budget residual",
+                                "time: mean area: mean", AGG_AVG),
     "OUT_LAKE_VOLUME": _M("m3", "LAKE_VOLUME", "", "Lake volume",
                           "time: point area: sum", AGG_END),
     "OUT_LAKE_SURF_AREA": _M("m2", "LAKE_SURF_AREA", "", "Lake surface area",

@@ -69,7 +69,7 @@ class SoilParams:
     organic: np.ndarray       # [n_cell, n_layer]
     bulk_density: np.ndarray  # [n_cell, n_layer] combined (read_soilparam.c:896)
     soil_density: np.ndarray  # [n_cell, n_layer]
-    off_gmt: np.ndarray       # hours
+    off_gmt: np.ndarray       # time_zone_lng, DEGREES (read_soilparam.c:33)
     rough: np.ndarray         # m
     snow_rough: np.ndarray    # m
     annual_prec: np.ndarray   # mm

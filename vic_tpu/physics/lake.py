@@ -1,24 +1,46 @@
 """Lake / wetland model: multi-layer lake temperature, ice, and water balance.
 
-Batched re-expression of the reference lake component
-(/root/reference/lakes.eb.c, initialize_lake.c, LAKE.h):
-- lake basin geometry: piecewise-linear depth-area profile with trapezoidal
-  volumes (initialize_lake.c get_depth/get_sarea/get_volume:335-470);
-- water density / freezing point (calc_density:800, rhoinit:1323);
-- wind-driven eddy diffusivity with Richardson damping (eddy:837, Hostetler
-  formulation; molecular background DM);
-- layer temperature update: surface energy balance on the top layer (SW/LW/
-  sensible/latent) + implicit vertical diffusion via the batched Thomas solver
-  (water_energy_balance:47 re-expressed implicitly), SW attenuation with depth;
-- convective mixing: density-instability sweeps (tracer_mixer:296);
-- ice formation when layers supercool (iceform:971) and surface melt of ice
-  using the two-pass 0C pattern (lakeice:1153 / ice_melt.c);
-- water balance: inflow from cell runoff/baseflow, evaporation cap, ARNO
-  baseflow out of the lake bed, broad-crested-weir outflow above mindepth
-  (water_balance:1870, outflow weir at :2100: Q = 1.6*wfrac*circumference*
-  (depth-mindepth)^1.5 per second).
+Faithful batched rebuild of the reference lake component
+(/root/reference/lakes.eb.c, ice_melt.c, IceEnergyBalance.c,
+water_energy_balance.c, water_under_ice.c, initialize_lake.c, LAKE.h):
 
-All state arrays are [n_cell] (one lake per cell, matching the reference) with
+- basin geometry: piecewise-linear depth-area profile, trapezoidal volumes
+  (initialize_lake.c get_depth/get_sarea/get_volume:335-470);
+- water density / specific heat / freezing point (calc_density:800,
+  specheat:1395, rhoinit:1323);
+- Hostetler wind-driven eddy diffusivity with Richardson damping (eddy:837);
+- layer temperatures: semi-implicit tridiagonal solve with surface-area
+  weighting and two-band Beer-law SW absorption (temp_area:1395-1600);
+- open-water surface energy balance: latsens bulk fluxes with the
+  Richardson-number lake drag lkdrag (lakes.eb.c:1263), fixed-point
+  iteration on the skin temperature (water_energy_balance.c:47);
+- convective mixing (tracer_mixer:1610) re-expressed as heat-conserving
+  pairwise sweeps (same stable-profile fixed point, batched order);
+- new ice formation from supercooled layers (iceform:971);
+- snow-on-ice two-layer energy balance with the batched Brent
+  (ice_melt.c:117 + IceEnergyBalance.c, the VIC snow_melt analog);
+- radiation attenuation through snow+ice, Patterson & Hamblin
+  (icerad, lakes.eb.c:1092);
+- water column under ice: fixed point on the ice-water interface flux qw
+  (water_under_ice.c:45);
+- bottom ice growth/melt (lakeice, lakes.eb.c:1153);
+- ice-covered and open columns averaged by area fraction (colavg:735);
+- water balance: inflow, throughfall, snowmelt, evap cap, wetland recharge,
+  ARNO bed baseflow, broad-crested-weir outflow, volume caps
+  (water_balance, lakes.eb.c:1870-2200).
+
+Documented deviations from the reference (all batching/static-shape driven):
+- fixed NN=MAX_LAKE_NODES fractional layers (dz=depth/NN) instead of the
+  depth-dependent activenod regrid (lakes.eb.c:2225-2262); lakes shallower
+  than SHALLOW_LAKE collapse to a single well-mixed bucket, mirroring the
+  reference's activenod==1 branch;
+- tracer_mixer's restart-scan is replaced by fixed heat-conserving
+  red-black sweeps (identical fixed point: monotone density, conserved
+  column heat);
+- blowing-snow sublimation over lake ice (ice_melt.c:268) enters through an
+  optional blowing_flux argument (0 unless BLOWING is wired by the caller).
+
+All state arrays are [n_cell] (one lake per cell, as in the reference) with
 a fixed MAX_LAKE_NODES layer axis.
 """
 from __future__ import annotations
@@ -31,13 +53,37 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as c
-from .evap import penman, svp
+from ..ops.rootfind import batched_brent
+from ..ops.tridiag import thomas_solve
+from .evap import svp
+from .snow import latent_heat_from_snow, snow_albedo, stability_correction
 
 MAX_LAKE_NODES = c.MAX_LAKE_NODES
-DM = 1.38889e-07    # molecular diffusivity of water (LAKE.h)
+
+# LAKE.h:36-63
+DM = 1.38889e-07     # molecular diffusivity of water (m^2/s)
+EMH2O = 0.98
+RHOSNOW = 250.0      # snow density for depth conversions over lake ice
 RHOICE = 917.0
-COND_WATER = 0.6    # thermal conductivity of water W/m/K
-COND_ICE = 2.1
+FRACMIN = 0.10       # min ice thickness (m)
+FRACLIM = 0.02       # lower limit on fractional ice cover
+SNOWCRIT = 0.05      # snow depth for full snow albedo (m)
+ZWATER = 0.0045      # open-water roughness (m)
+ZSNOW = 0.005        # snow-on-ice roughness (m)
+CONDI = 2.3          # thermal conductivity of ice (W/m/K)
+CONDS = 0.7          # thermal conductivity of snow (W/m/K)
+LAMISW = 1.5         # SW extinction in ice, visible (1/m)
+LAMILW = 20.0        # SW extinction in ice, NIR (1/m)
+LAMSSW = 6.0         # SW extinction in snow, visible (1/m)
+LAMSLW = 20.0        # SW extinction in snow, NIR (1/m)
+LAMWSW = 0.3         # SW extinction in water, visible (1/m)
+LAMWLW = 1.4         # SW extinction in water, NIR (1/m)
+A1 = 0.7             # fraction of SW in visible band
+A2 = 0.3             # fraction of SW in NIR band
+MAX_SURFACE_LAKE = 0.6   # reference surface-layer cap (m), LAKE.h:40
+SHALLOW_LAKE = 0.20      # below this depth: single-bucket column (activenod=1)
+EB_MAX_ITER = 50         # water_energy_balance.c / water_under_ice.c MAX_ITER
+EB_EPS = 1.0e-4
 
 
 def _pytreeify(cls):
@@ -71,13 +117,24 @@ class LakeParams:
 @_pytreeify
 @dataclass
 class LakeState:
-    """Prognostic lake state (lake_var_struct)."""
-    volume: jnp.ndarray       # [c] m^3 total (incl. ice water equivalent)
-    temp: jnp.ndarray         # [c, NN] layer temperatures
+    """Prognostic lake state (lake_var_struct + its snow_data_struct).
+    Snow-pack stores (swe, surf/pack water) are meters over the LAKE area,
+    exactly as the reference leaves them at the end of solve_lake
+    (lakes.eb.c:480-506: `lake->snow.swq *= fracprv`)."""
+    volume: jnp.ndarray        # [c] m^3 total (incl. ice water equivalent)
+    temp: jnp.ndarray          # [c, NN] layer temperatures (C)
     ice_water_eq: jnp.ndarray  # [c] m^3
-    ice_area: jnp.ndarray     # [c] m^2
-    ice_height: jnp.ndarray   # [c] m
-    swe: jnp.ndarray          # [c] m snow on ice (water equivalent over ice area)
+    ice_area: jnp.ndarray      # [c] m^2 (lake_var.areai)
+    ice_height: jnp.ndarray    # [c] m   (lake_var.hice)
+    swe: jnp.ndarray           # [c] m snow water equivalent over lake area
+    tempi: jnp.ndarray         # [c] ice/snow surface temperature (C)
+    surf_temp: jnp.ndarray     # [c] snow surface-layer temperature (C)
+    pack_temp: jnp.ndarray     # [c] snow pack-layer temperature (C)
+    surf_water: jnp.ndarray    # [c] m liquid in surface layer (over lake)
+    pack_water: jnp.ndarray    # [c] m liquid in pack layer (over lake)
+    salbedo: jnp.ndarray       # [c] snow albedo state
+    last_snow: jnp.ndarray     # [c] steps since last significant snowfall
+    melting: jnp.ndarray       # [c] bool MELTING flag
 
 
 def make_lake_params(soil, gp, depth_in=None, frac=0.1) -> LakeParams:
@@ -107,20 +164,20 @@ def make_lake_params(soil, gp, depth_in=None, frac=0.1) -> LakeParams:
         rpercent=np.full(n_cell, 0.5), cl0=np.full(n_cell, frac))
 
 
+# --------------------------------------------------------------------------
+# Basin geometry (initialize_lake.c:335-470)
+# --------------------------------------------------------------------------
+
 def volume_from_depth(lp: LakeParams, depth):
     """Trapezoidal volume below `depth` (get_volume, initialize_lake.c:370)."""
     z = lp.z
     b = lp.basin
-    # area at the free surface
     a_surf = area_from_depth(lp, depth)
-    # full sub-layers below the surface
     z_top = z[..., :-1]
     z_bot = z[..., 1:]
     layer_vol = (z_top - z_bot) * (b[..., :-1] + b[..., 1:]) / 2.0
-    # layer fully submerged when depth >= z_top
     full = depth[..., None] >= z_top
     vol_full = jnp.where(full, layer_vol, 0.0).sum(-1)
-    # partial layer: surface inside (z_bot, z_top)
     partial = jnp.logical_and(depth[..., None] > z_bot,
                               depth[..., None] < z_top)
     h = jnp.clip(depth[..., None] - z_bot, 0.0, None)
@@ -140,8 +197,7 @@ def area_from_depth(lp: LakeParams, depth):
     w = (depth[..., None] - z_bot) / jnp.maximum(z_top - z_bot, 1e-10)
     a = b[..., 1:] + w * (b[..., :-1] - b[..., 1:])
     area = jnp.where(inlayer, a, 0.0).sum(-1)
-    area = jnp.where(depth[..., 0:1].squeeze(-1) * 0 + depth >= z[..., 0],
-                     b[..., 0], area)
+    area = jnp.where(depth >= z[..., 0], b[..., 0], area)
     return jnp.where(depth <= 0.0, 0.0, area)
 
 
@@ -163,22 +219,93 @@ def depth_from_volume(lp: LakeParams, volume, n_iter: int = 30):
     return jnp.where(volume <= 0.0, 0.0, d)
 
 
+class LayerGrid(NamedTuple):
+    """Masked static-shape equivalent of the reference's variable activenod
+    layering (water_balance, lakes.eb.c:2225-2262): surfdz <= 0.6 m
+    (MAX_SURFACE_LAKE), dz = (ldepth-surfdz)/(numnod-1), node k active iff
+    k < numnod. The ~0.6 m surface layer is load-bearing: it sets the
+    contraction rate of every skin-temperature fixed point."""
+    numnod: jnp.ndarray    # [c] int32 active nodes (>=1 when water present)
+    dz: jnp.ndarray        # [c] interior layer thickness (m)
+    surfdz: jnp.ndarray    # [c] surface layer thickness (m)
+    z: jnp.ndarray         # [c, NN] layer thickness per node
+    zhalf: jnp.ndarray     # [c, NN] center-to-center distances
+    mask: jnp.ndarray      # [c, NN] bool: node active
+    last: jnp.ndarray      # [c, NN] bool: deepest active node
+    surface: jnp.ndarray   # [c, NN+1] basin area at the top of each layer
+
+
+def make_grid(lp: LakeParams, ldepth) -> LayerGrid:
+    NN = MAX_LAKE_NODES
+    two = jnp.logical_and(ldepth > MAX_SURFACE_LAKE,
+                          ldepth < 2.0 * MAX_SURFACE_LAKE)
+    many = ldepth >= 2.0 * MAX_SURFACE_LAKE
+    numnod = jnp.where(
+        many, jnp.clip((ldepth / MAX_SURFACE_LAKE).astype(jnp.int32), 2, NN),
+        jnp.where(two, 2, 1))
+    surfdz = jnp.where(many, MAX_SURFACE_LAKE,
+                       jnp.where(two, ldepth / 2.0,
+                                 jnp.maximum(ldepth, 1e-3)))
+    dz = jnp.where(many, (ldepth - surfdz)
+                   / jnp.maximum(numnod - 1, 1).astype(ldepth.dtype),
+                   jnp.where(two, ldepth / 2.0, 0.0))
+    dz_safe = jnp.maximum(dz, 1e-3)
+    k = jnp.arange(NN)
+    mask = k[None, :] < numnod[..., None]
+    last = k[None, :] == (numnod[..., None] - 1)
+    z = jnp.where(k[None, :] == 0, surfdz[..., None], dz_safe[..., None])
+    zhalf = jnp.where(
+        k[None, :] == 0,
+        jnp.where((numnod > 1)[..., None],
+                  0.5 * (surfdz + dz_safe)[..., None],
+                  0.5 * surfdz[..., None]),
+        dz_safe[..., None])
+    # surface[k]: area at ldepth for k=0, else at dz*(numnod-k)
+    # (lakes.eb.c:2264-2278); inactive entries repeat the deepest area
+    kk = jnp.arange(NN + 1, dtype=ldepth.dtype)
+    lvl = jnp.where(kk[None, :] == 0, ldepth[..., None],
+                    jnp.maximum(dz[..., None]
+                                * (numnod[..., None].astype(ldepth.dtype)
+                                   - kk[None, :]), 0.0))
+    flat = lvl.reshape((-1,))
+    lpz = jax.tree_util.tree_map(
+        lambda a: jnp.repeat(jnp.asarray(a), NN + 1, axis=0)
+        if getattr(a, "ndim", 0) >= 1 else a, lp)
+    area = jnp.maximum(area_from_depth(lpz, flat).reshape(lvl.shape), 0.0)
+    return LayerGrid(numnod=numnod, dz=dz, surfdz=surfdz, z=z, zhalf=zhalf,
+                     mask=mask, last=last, surface=area)
+
+
+# --------------------------------------------------------------------------
+# Water properties
+# --------------------------------------------------------------------------
+
 def water_density(t):
-    """Density anomaly vs 1000 kg/m^3 (calc_density:800)."""
+    """Density anomaly vs 1000 kg/m^3 (calc_density, lakes.eb.c:800)."""
     return (999.842594 + 6.793952e-2 * t - 9.095290e-3 * t ** 2
             + 1.001685e-4 * t ** 3 - 1.120083e-6 * t ** 4
             + 6.536332e-9 * t ** 5) - 1000.0
 
 
-def freezing_point(depth_pressure_m=0.0):
-    """Freezing point of (fresh) lake water (rhoinit:1323), ~0 C minus
-    pressure correction."""
-    return -7.53e-3 * depth_pressure_m / 100.0
+def specheat(t):
+    """Specific heat of water J/kg/K (specheat, lakes.eb.c:1395)."""
+    return (4217.4 - 3.720283 * t + 0.1412855 * t ** 2
+            - 2.654387e-3 * t ** 3 + 2.093236e-5 * t ** 4)
 
 
-def eddy_diffusivity(wind, temp, lat, dz, surfdz, freeze_flag):
-    """Hostetler eddy diffusivity per layer interface (eddy:837).
-    temp: [c, NN]; returns de [c, NN]."""
+def freezing_point(pressure_kpa):
+    """Freshwater freezing point vs air pressure (rhoinit, lakes.eb.c:1323)."""
+    return -7.53e-3 * pressure_kpa / 100.0
+
+
+# --------------------------------------------------------------------------
+# Eddy diffusivity (eddy, lakes.eb.c:837)
+# --------------------------------------------------------------------------
+
+def eddy_diffusivity(freezeflag, wind, temp, lat, grid: LayerGrid):
+    """Hostetler eddy diffusivity per layer interface; [c, NN].
+    freezeflag True => liquid water (eddy active); False => molecular only
+    (eddy, lakes.eb.c:837-935)."""
     rho = water_density(temp)
     nn = temp.shape[-1]
     wind = jnp.maximum(wind, 1.0)
@@ -186,13 +313,11 @@ def eddy_diffusivity(wind, temp, lat, dz, surfdz, freeze_flag):
         * jnp.power(wind, -1.84)
     ws = 0.0012 * wind
     k_idx = jnp.arange(nn - 1)
-    zhalf = jnp.where(k_idx == 0, (surfdz[..., None] + dz[..., None]) * 0.5,
-                      dz[..., None])
+    zhalf = grid.zhalf[..., :-1]
     dpdz = (rho[..., 1:] - rho[..., :-1]) / zhalf
     n2 = dpdz / (1.0e3 + rho[..., :-1]) * 9.8
-    z = surfdz[..., None] + k_idx * dz[..., None]
-    # reference guard (eddy:885): deep/strong-decay points pin to radmax
-    ksz = jnp.minimum(ks[..., None] * z, 30.0)   # exp underflow guard (f32)
+    z = grid.surfdz[..., None] + k_idx * grid.dz[..., None]
+    ksz = jnp.minimum(ks[..., None] * z, 30.0)   # exp overflow guard (f32)
     deep = z * jnp.exp(ksz) / ws[..., None] > 1.0e8
     rad = 1.0 + 40.0 * n2 * (c.VON_K * z) ** 2 / (
         ws[..., None] ** 2 * jnp.exp(-2.0 * ksz))
@@ -201,10 +326,1161 @@ def eddy_diffusivity(wind, temp, lat, dz, surfdz, freeze_flag):
     ri = (-1.0 + jnp.sqrt(rad)) / 20.0
     de = DM + (c.VON_K * ws[..., None] * z / 1.0) * jnp.exp(
         -ks[..., None] * z) / (1.0 + 37.0 * ri * ri)
-    de = jnp.where(freeze_flag[..., None], DM, de)
     de = jnp.concatenate([de, de[..., -1:]], -1)
-    return de
+    # de[numnod-1] = de[numnod-2] (lakes.eb.c:930): interfaces at/under the
+    # deepest node never enter the masked solve, so leave as computed
+    return jnp.where(freezeflag[..., None], de, DM)
 
+
+# --------------------------------------------------------------------------
+# Column energy content (energycalc, lakes.eb.c:1840)
+# --------------------------------------------------------------------------
+
+def energycalc(temp, grid: LayerGrid, cp, rho):
+    """Thermal energy of the active column in J (Kelvin, like the
+    reference's energycalc, lakes.eb.c:1840)."""
+    s_top = grid.surface[..., :-1]
+    s_bot = grid.surface[..., 1:]
+    wt = jnp.where(grid.last, s_top / 2.0, (s_top + s_bot) / 2.0)
+    e = (temp + c.KELVIN) * grid.z * (1.0e3 + rho) * cp * wt
+    return jnp.where(grid.mask, e, 0.0).sum(-1)
+
+
+# --------------------------------------------------------------------------
+# Layer temperature update (temp_area, lakes.eb.c:1395-1600)
+# --------------------------------------------------------------------------
+
+def temp_area(sw_visible, sw_nir, surface_force, temp, rho, de, dt_sec,
+              grid: LayerGrid, cp):
+    """Semi-implicit (diffusion half explicit in the RHS, half implicit in
+    the matrix) tridiagonal update of the active water column
+    (temp_area, lakes.eb.c:1395-1600). Inactive nodes are identity rows.
+    Returns (Tnew, joulenew, energy_out_bottom)."""
+    NN = temp.shape[-1]
+    k_idx = jnp.arange(NN, dtype=temp.dtype)
+    z = grid.z
+    zhalf = grid.zhalf
+    mask = grid.mask
+    last = grid.last
+    interior = jnp.logical_and(mask, ~last)       # has a node below
+
+    s_top = grid.surface[..., :-1]                # surface_1 per layer
+    s_bot = grid.surface[..., 1:]                 # surface_2 per layer
+    # deepest active node uses surface_1 for both (lakes.eb.c:1520-1527) —
+    # EXCEPT a single-node column, which keeps the k=0 form with
+    # surface[1]~0 so the whole SW column absorbs (lakes.eb.c:1449,1465)
+    multi = (grid.numnod > 1)[..., None]
+    s_bot = jnp.where(jnp.logical_and(last, multi), s_top, s_bot)
+    s_avg = jnp.where(jnp.logical_and(last, multi), s_top,
+                      (s_top + s_bot) / 2.0)
+    s_avg = jnp.maximum(s_avg, c.SMALL)
+
+    top = jnp.where(k_idx[None, :] == 0, 0.0,
+                    grid.surfdz[..., None]
+                    + (k_idx[None, :] - 1.0) * grid.dz[..., None])
+    bot = jnp.where(k_idx[None, :] == 0, grid.surfdz[..., None],
+                    grid.surfdz[..., None]
+                    + k_idx[None, :] * grid.dz[..., None])
+
+    t1 = (sw_visible[..., None]
+          * (s_top * jnp.exp(-LAMWSW * top) - s_bot * jnp.exp(-LAMWSW * bot))
+          + sw_nir[..., None]
+          * (s_top * jnp.exp(-LAMWLW * top) - s_bot * jnp.exp(-LAMWLW * bot))
+          ) / s_avg
+    t1 = t1.at[..., 0].add(surface_force * s_top[..., 0] / s_avg[..., 0])
+
+    # explicit diffusion half-terms (cnextra): at node k,
+    #   term1 = +0.5*(de[k]/zhalf[k])  *((T[k+1]-T[k])/z[k])*surface_2/s_avg
+    #   term2 = -0.5*(de[k-1]/zhalf[k-1])*((T[k]-T[k-1])/z[k])*surface_1/s_avg
+    # (the reference divides BOTH by z[k], lakes.eb.c:1500-1505).
+    dT = temp[..., 1:] - temp[..., :-1]   # T[k+1]-T[k] at interface k
+    term1 = jnp.zeros_like(temp)
+    term1 = term1.at[..., :-1].set(
+        0.5 * (de[..., :-1] / zhalf[..., :-1]) * dT / z[..., :-1]
+        * s_bot[..., :-1] / s_avg[..., :-1])
+    term1 = jnp.where(interior, term1, 0.0)   # no downward flux at bottom
+    term2 = jnp.zeros_like(temp)
+    term2 = term2.at[..., 1:].set(
+        -0.5 * (de[..., :-1] / zhalf[..., :-1]) * dT / z[..., 1:]
+        * s_top[..., 1:] / s_avg[..., 1:])
+    term2 = jnp.where(mask, term2, 0.0)
+    cn = term1 + term2
+
+    heat_cap = (1.0e3 + rho) * cp * z
+    d_rhs = temp + t1 * dt_sec / heat_cap + cn * dt_sec
+    d_rhs = jnp.where(mask, d_rhs, temp)
+
+    # matrix (lakes.eb.c:1552-1590); b=super, c=sub, a=main;
+    # inactive rows are identity
+    b_sup = jnp.zeros_like(temp)
+    b_sup = b_sup.at[..., :-1].set(
+        -0.5 * (de[..., :-1] / zhalf[..., :-1]) * (dt_sec / z[..., :-1])
+        * s_bot[..., :-1] / s_avg[..., :-1])
+    b_sup = jnp.where(interior, b_sup, 0.0)
+    c_sub = jnp.zeros_like(temp)
+    c_sub = c_sub.at[..., 1:].set(
+        -0.5 * (de[..., :-1] / zhalf[..., :-1]) * (dt_sec / z[..., 1:])
+        * s_top[..., 1:] / s_avg[..., 1:])
+    c_sub = jnp.where(jnp.logical_and(mask, k_idx[None, :] > 0), c_sub, 0.0)
+    a_main = 1.0 - b_sup - c_sub
+
+    t_new = thomas_solve(c_sub, a_main, b_sup, d_rhs)
+    t_new = jnp.where(mask, t_new, temp)
+
+    # energy out of the bottom of the deepest active node
+    # (lakes.eb.c:1534-1537)
+    bot_last = jnp.where(last, bot, 0.0).sum(-1)
+    s_last = jnp.where(last, s_top, 0.0).sum(-1)
+    energy_out_bottom = s_last * (
+        sw_visible * jnp.exp(-LAMWSW * bot_last)
+        + sw_nir * jnp.exp(-LAMWLW * bot_last)) / jnp.maximum(
+            grid.surface[..., 0], c.SMALL)
+
+    joulenew = energycalc(t_new, grid, cp, rho)
+    return t_new, joulenew, energy_out_bottom
+
+
+def tracer_mixer(temp, grid: LayerGrid, cp, sweeps: int = None):
+    """Convective mixing of density-unstable layers (tracer_mixer,
+    lakes.eb.c:1610). Heat-conserving pairwise red-black sweeps; same fixed
+    point (monotone density profile, conserved column heat) as the
+    reference's restart scan."""
+    NN = temp.shape[-1]
+    if sweeps is None:
+        sweeps = NN
+    z = grid.z
+    s_node = jnp.maximum(grid.surface[..., :-1], c.SMALL)
+    pair_ok = grid.mask[..., 1:]          # both k and k+1 active
+
+    def mix_parity(T, parity):
+        rho = water_density(T)
+        heatcon = z * (1.0e3 + rho) * cp * s_node
+        unstable = rho[..., :-1] > rho[..., 1:]
+        sel = (jnp.arange(NN - 1) % 2) == parity
+        do = jnp.logical_and(jnp.logical_and(unstable, sel), pair_ok)
+        tav = (T[..., :-1] * heatcon[..., :-1] + T[..., 1:] * heatcon[..., 1:]) \
+            / jnp.maximum(heatcon[..., :-1] + heatcon[..., 1:], c.SMALL)
+        T = T.at[..., :-1].set(jnp.where(do, tav, T[..., :-1]))
+        T = T.at[..., 1:].set(jnp.where(do, tav, T[..., 1:]))
+        return T
+
+    def body(i, T):
+        T = mix_parity(T, 0)
+        T = mix_parity(T, 1)
+        return T
+
+    return jax.lax.fori_loop(0, sweeps, body, temp)
+
+
+# --------------------------------------------------------------------------
+# New ice formation (iceform, lakes.eb.c:971)
+# --------------------------------------------------------------------------
+
+class IceformResult(NamedTuple):
+    temp: jnp.ndarray              # clamped column
+    qfusion: jnp.ndarray           # W/m2 absorbed into new ice
+    areaadd: jnp.ndarray           # m^2 of new ice cover
+    new_ice_height: jnp.ndarray    # m
+    new_ice_water_eq: jnp.ndarray  # m^3
+
+
+def iceform(temp, tcutoff, fracprv, dt_sec, grid: LayerGrid, cp,
+            lvolume) -> IceformResult:
+    surface = grid.surface
+    # deepest node weighs its FULL area (iceform, lakes.eb.c:1029-1035 —
+    # note the inconsistency with energycalc's half-weight; kept)
+    wt = jnp.where(grid.last, surface[..., :-1],
+                   (surface[..., :-1] + surface[..., 1:]) / 2.0)
+    cold = jnp.logical_and(temp < tcutoff[..., None], grid.mask)
+    extra = jnp.where(
+        cold,
+        (tcutoff[..., None] - temp) * grid.z * c.RHO_W * cp
+        * (1.0 - fracprv)[..., None] * wt, 0.0)
+    ssum = extra.sum(-1)
+    t_out = jnp.where(cold, tcutoff[..., None], temp)
+
+    new_iwe = ssum / (c.RHO_W * c.LF)
+    denom = dt_sec * jnp.maximum(surface[..., 0] * (1.0 - fracprv), c.SMALL)
+    have_water = lvolume > new_iwe
+    some_water = lvolume > 0.0
+    new_iwe = jnp.where(have_water, new_iwe,
+                        jnp.where(some_water, lvolume, 0.0))
+    di = jnp.where(have_water, ssum / (c.LF * RHOICE),
+                   jnp.where(some_water, new_iwe * c.RHO_W / RHOICE, 0.0))
+    qfusion = jnp.where(
+        have_water, ssum / denom,
+        jnp.where(some_water, (new_iwe * c.RHO_W / RHOICE) / denom, 0.0))
+
+    areaadd = di / FRACMIN
+    cap = (1.0 - fracprv) * surface[..., 0]
+    over = areaadd > cap
+    new_hi = jnp.where(over, di / jnp.maximum(cap, c.SMALL), FRACMIN)
+    areaadd = jnp.minimum(areaadd, cap)
+    return IceformResult(temp=t_out, qfusion=qfusion, areaadd=areaadd,
+                         new_ice_height=new_hi, new_ice_water_eq=new_iwe)
+
+
+# --------------------------------------------------------------------------
+# Bulk surface fluxes over open water (latsens + lkdrag, lakes.eb.c:543,1263)
+# --------------------------------------------------------------------------
+
+def lkdrag(tsurf_k, tair_k, wind, roughness, z1):
+    """Richardson-number-stability-corrected lake drag coefficient
+    (lkdrag, lakes.eb.c:1263)."""
+    logzr = jnp.log(z1 / roughness)
+    cdrn = (c.VON_K / logzr) ** 2
+    ribn = z1 * c.G * (1.0 - tsurf_k / tair_k)
+    ribd = jnp.where(tsurf_k / tair_k <= 1.0,
+                     wind * wind + 0.01, wind * wind + 1.0)
+    rib = ribn / jnp.maximum(ribd, c.SMALL)
+    cdr = jnp.where(rib < 0.0,
+                    cdrn * (1.0 + 24.5 * jnp.sqrt(jnp.maximum(-cdrn * rib,
+                                                              0.0))),
+                    cdrn / (1.0 + 11.5 * rib))
+    cdrmin = jnp.maximum(0.25 * cdrn, 6.0e-4)
+    return jnp.maximum(cdr, cdrmin)
+
+
+def latsens(tsurf_k, tcutk, hice, tair, wind, pressure, vp, air_density,
+            wind_h):
+    """Bulk latent/sensible partition over the lake surface (latsens,
+    lakes.eb.c:543). pressure/vp in Pa (ratios are scale-invariant).
+    Returns (evap mm/s, qsen W/m2)."""
+    rough = jnp.where(hice > 0.0, ZSNOW, ZWATER)
+    dragcoeff = lkdrag(tsurf_k, tair + c.KELVIN, wind, rough, wind_h)
+    ts_c = tsurf_k - c.KELVIN
+    eog_water = 611.0 * jnp.exp(17.269 * ts_c / (ts_c + 237.3))
+    eog_ice = 611.0 * jnp.exp(21.874 * ts_c / (tsurf_k - 7.66))
+    eog = jnp.where(jnp.logical_and(hice <= 0.0, tsurf_k > tcutk),
+                    eog_water, eog_ice)
+    qlake = 0.622 * eog / jnp.maximum(pressure - 0.378 * eog, 1.0)
+    qair = 0.622 * vp / jnp.maximum(pressure - 0.378 * vp, 1.0)
+    delq = qair - qlake
+    evap = -1.0 * dragcoeff * wind * air_density * delq
+    qsen = dragcoeff * wind * air_density * c.CP \
+        * (tair + c.KELVIN - tsurf_k)
+    return evap, qsen
+
+
+# --------------------------------------------------------------------------
+# Open-water column energy balance (water_energy_balance.c:47)
+# --------------------------------------------------------------------------
+
+class WaterEBResult(NamedTuple):
+    temp: jnp.ndarray
+    qh: jnp.ndarray
+    qle: jnp.ndarray
+    lwnet: jnp.ndarray
+    delta_h: jnp.ndarray
+    energy_ice_formation: jnp.ndarray
+    new_ice_area: jnp.ndarray
+    new_ice_height: jnp.ndarray
+    new_ice_water_eq: jnp.ndarray
+    evap_mm_s: jnp.ndarray
+    energy_out_bottom: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def water_energy_balance(*, temp, grid, lat, tcutoff, tair,
+                         wind, pressure, vp, air_density, longwave,
+                         shortwave_net, wind_h, fracprv, lvolume, dt_sec,
+                         active) -> WaterEBResult:
+    """Fixed-point iteration on the skin temperature of the open-water
+    fraction (water_energy_balance.c:47-219). `shortwave_net` is already
+    albedo-reduced (sw_water). Non-converged lanes use the reference's
+    workaround: fluxes at the original T[0], deltaH=0, iceform on old T."""
+    rho0 = water_density(temp)
+    cp0 = specheat(temp)
+    jouleold = energycalc(temp, grid, cp0, rho0)
+    tcutk = tcutoff + c.KELVIN
+
+    def fluxes(ts):
+        tskin = ts + c.KELVIN
+        evap, qh = latsens(tskin, tcutk, jnp.zeros_like(ts), tair, wind,
+                           pressure, vp, air_density, wind_h)
+        le = (2.501 - 0.002361 * tair) * 1.0e6
+        qle = -1.0 * evap * le
+        lwnet = longwave - EMH2O * c.STEFAN_B * tskin ** 4
+        return evap, qh, qle, lwnet
+
+    def one_iter(ts):
+        evap, qh, qle, lwnet = fluxes(ts)
+        de = eddy_diffusivity(jnp.ones_like(ts, bool), wind, temp, lat,
+                              grid)
+        t_new, joulenew, e_bot = temp_area(
+            shortwave_net * A1, shortwave_net * A2, qle + qh + lwnet,
+            temp, rho0, de, dt_sec, grid, cp0)
+        froze = t_new[..., 0] < tcutoff
+        icf = iceform(t_new, tcutoff, fracprv, dt_sec, grid, cp0, lvolume)
+        t_new = jnp.where(froze[..., None], icf.temp, t_new)
+        joule_f = energycalc(t_new, grid, cp0, rho0)
+        joulenew = jnp.where(froze, joule_f, joulenew)
+        dh = (joulenew - jouleold) / jnp.maximum(
+            grid.surface[..., 0] * dt_sec, c.SMALL)
+        eif = jnp.where(froze, icf.qfusion, 0.0)
+        return (t_new, evap, qh, qle, lwnet, dh, eif,
+                jnp.where(froze, icf.areaadd, 0.0),
+                jnp.where(froze, icf.new_ice_height, 0.0),
+                jnp.where(froze, icf.new_ice_water_eq, 0.0), e_bot)
+
+    z0 = jnp.zeros_like(temp[..., 0])
+    init = (jnp.int32(0), temp[..., 0], jnp.logical_not(active),
+            (temp, z0, z0, z0, z0, z0, z0, z0, z0, z0, z0))
+
+    def cond(carry):
+        i, _, done, _ = carry
+        return jnp.logical_and(i < EB_MAX_ITER, ~done.all())
+
+    def body(carry):
+        i, ts, done, out = carry
+        res = one_iter(ts)
+        t_new = res[0]
+        tmean = (t_new[..., 0] + temp[..., 0]) / 2.0
+        newly = jnp.abs(tmean - ts) <= EB_EPS
+        out2 = tuple(
+            jnp.where(done[..., None] if o.ndim == 2 else done, o_old, o)
+            for o, o_old in zip(res, out))
+        done2 = jnp.logical_or(done, newly)
+        return i + 1, jnp.where(done, ts, tmean), done2, out2
+
+    i, ts, done, out = jax.lax.while_loop(cond, body, init)
+    (t_new, evap, qh, qle, lwnet, dh, eif, aadd, nih, niwe, e_bot) = out
+
+    # non-convergence workaround (water_energy_balance.c:185-218)
+    evap_f, qh_f, qle_f, lwnet_f = fluxes(temp[..., 0])
+    froze_f = temp[..., 0] < tcutoff
+    icf_f = iceform(temp, tcutoff, fracprv, dt_sec, grid, specheat(temp),
+                    lvolume)
+    sel = lambda a, b: jnp.where(done, a, b)
+    sel2 = lambda a, b: jnp.where(done[..., None], a, b)
+    return WaterEBResult(
+        temp=sel2(t_new, temp),
+        qh=sel(qh, qh_f), qle=sel(qle, qle_f), lwnet=sel(lwnet, lwnet_f),
+        delta_h=sel(dh, 0.0),
+        energy_ice_formation=sel(eif, jnp.where(froze_f, icf_f.qfusion, 0.0)),
+        new_ice_area=sel(aadd, jnp.where(froze_f, icf_f.areaadd, 0.0)),
+        new_ice_height=sel(nih, jnp.where(froze_f, icf_f.new_ice_height,
+                                          0.0)),
+        new_ice_water_eq=sel(niwe, jnp.where(froze_f,
+                                             icf_f.new_ice_water_eq, 0.0)),
+        evap_mm_s=sel(evap, evap_f), energy_out_bottom=sel(e_bot, 0.0),
+        converged=done)
+
+# --------------------------------------------------------------------------
+# Radiation through snow+ice (icerad, lakes.eb.c:1092)
+# --------------------------------------------------------------------------
+
+def icerad(sw, hi, hs):
+    """Patterson & Hamblin radiation balance over ice.
+    sw: net SW at top of snowpack; hi: ice depth m; hs: snow depth m.
+    Returns (avgcond [m*K/W], sw_net [W/m2 absorbed in snow+ice],
+    sw_under_ice [W/m2 through the bottom])."""
+    avgcond = (hs * CONDI + hi * CONDS) / (CONDI * CONDS)
+    a = -1.0 * (1.0 - jnp.exp(-LAMSSW * hs)) / (CONDS * LAMSSW)
+    b = -1.0 * jnp.exp(-LAMSSW * hs) * (1.0 - jnp.exp(-LAMISW * hi)) \
+        / (CONDI * LAMISW)
+    cc = -1.0 * (1.0 - jnp.exp(-LAMSLW * hs)) / (CONDS * LAMSLW)
+    d = -1.0 * jnp.exp(-LAMSLW * hs) * (1.0 - jnp.exp(-LAMILW * hi)) \
+        / (CONDI * LAMILW)
+    sw_net = sw * A1 * (a + b) + sw * A2 * (cc + d)
+    sw_under_ice = (A1 * sw * (1.0 - jnp.exp(-(LAMSSW * hs + LAMISW * hi)))
+                    + A2 * sw * (1.0 - jnp.exp(-(LAMSLW * hs + LAMILW * hi))))
+    return avgcond, sw_net, sw_under_ice
+
+
+# --------------------------------------------------------------------------
+# Lake snow/ice albedo (alblake, lakes.eb.c:637)
+# --------------------------------------------------------------------------
+
+class AlblakeResult(NamedTuple):
+    albs: jnp.ndarray
+    albi: jnp.ndarray
+    albw: jnp.ndarray
+    salbedo: jnp.ndarray
+    last_snow: jnp.ndarray
+    melting: jnp.ndarray
+
+
+def alblake(tcutoff, tair, salbedo, newsnow_mm, coldcontent, dt_hours,
+            last_snow, swq, depth, melting, day_in_year, lat,
+            new_snow_alb, accum_a, accum_b, thaw_a, thaw_b) -> AlblakeResult:
+    dT = tair - tcutoff
+    dTc = jnp.clip(dT, 0.0, 20.0)
+    albgl = jnp.where(dT > 0.0, 0.4 - 0.011 * dTc, 0.4)
+    albgs = jnp.where(dT > 0.0, 0.6 - 0.0245 * dTc, 0.6)
+    albi = 0.5 * albgs + 0.5 * albgl
+
+    last_snow = jnp.where(newsnow_mm > c.TRACESNOW, 1.0,
+                          jnp.where(swq == 0.0, 0.0, last_snow + 1.0))
+    in_melt_season = jnp.where(
+        lat >= 0.0,
+        jnp.logical_and(day_in_year > 60, day_in_year < 273),
+        jnp.logical_or(day_in_year < 60, day_in_year > 273))
+    melting = jnp.where(
+        swq > 0.0, jnp.logical_and(coldcontent >= 0.0, in_melt_season),
+        jnp.zeros_like(melting, bool))
+    melting = jnp.where(newsnow_mm > c.TRACESNOW,
+                        jnp.zeros_like(melting, bool), melting)
+
+    aged = snow_albedo(newsnow_mm, swq, depth, salbedo, coldcontent,
+                       dt_hours, last_snow, melting, new_snow_alb,
+                       accum_a, accum_b, thaw_a, thaw_b)
+    salbedo = jnp.where(swq > 0.0, aged,
+                        jnp.where(newsnow_mm > 0.0, new_snow_alb, 0.0))
+    albs = jnp.where(newsnow_mm > 0.0, new_snow_alb, salbedo)
+    albw = jnp.full_like(albs, 0.15)
+    return AlblakeResult(albs=albs, albi=albi, albw=albw, salbedo=salbedo,
+                         last_snow=last_snow, melting=melting)
+
+
+# --------------------------------------------------------------------------
+# Ice/snow surface energy balance residual (IceEnergyBalance.c:60-175)
+# --------------------------------------------------------------------------
+
+class IceEBTerms(NamedTuple):
+    rest: jnp.ndarray
+    refreeze_energy: jnp.ndarray
+    vapor_flux: jnp.ndarray       # m/step
+    latent: jnp.ndarray
+    latent_sub: jnp.ndarray
+    sensible: jnp.ndarray
+    advection: jnp.ndarray
+    qf: jnp.ndarray               # conduction through snow+ice (W/m2)
+    lwnet: jnp.ndarray
+
+
+def ice_energy_terms(tsurf, *, dt_sec, ra, z_ref, roughness, wind, net_short,
+                     longwave_in, air_dens, lv, tair, pressure, vpd, vp_air,
+                     rain_m, surf_water, tcutoff, avgcond, sw_conducted,
+                     blowing_flux=0.0) -> IceEBTerms:
+    """All terms of the lake snow/ice surface energy balance at candidate
+    tsurf (IceEnergyBalance.c:calculate). Notable reference quirks kept:
+    the latent-heat flux uses the UNcorrected aerodynamic resistance
+    (IceEnergyBalance.c:132) and rain advection is unconditional
+    (IceEnergyBalance.c:146, 'temporary fix for lake model')."""
+    ra_corr = jnp.where(
+        wind > 0.0,
+        ra / stability_correction(z_ref, 0.0, tsurf, tair, wind, roughness),
+        c.HUGE_RESIST)
+    tkelv = tsurf + c.KELVIN
+    lwnet = longwave_in - c.STEFAN_B * tkelv ** 4
+    net_rad = net_short + lwnet
+    sensible = air_dens * c.CP_PM * (tair - tsurf) / ra_corr
+    latent, latent_sub, vapor_mass_flux = latent_heat_from_snow(
+        air_dens, vp_air, lv, pressure, ra, tsurf, vpd, blowing_flux)
+    vapor_flux = vapor_mass_flux * dt_sec / c.RHO_W
+    advection = c.CH_WATER * tair * rain_m / dt_sec
+    qnull = (tcutoff - tsurf + sw_conducted) / jnp.maximum(avgcond, c.SMALL)
+    rest = (net_rad + sensible + latent + latent_sub + advection + qnull)
+    refreeze_energy = surf_water * c.LF * c.RHO_W / dt_sec
+    melt_branch = jnp.logical_and(tsurf == 0.0, rest > -refreeze_energy)
+    refreeze_out = jnp.where(melt_branch, -rest, refreeze_energy)
+    rest_out = jnp.where(melt_branch, 0.0, rest + refreeze_energy)
+    return IceEBTerms(rest=rest_out, refreeze_energy=refreeze_out,
+                      vapor_flux=vapor_flux, latent=latent,
+                      latent_sub=latent_sub, sensible=sensible,
+                      advection=advection, qf=qnull, lwnet=lwnet)
+
+# --------------------------------------------------------------------------
+# Snow-on-ice two-layer mass/energy update (ice_melt.c:117-650)
+# --------------------------------------------------------------------------
+
+class IceMeltResult(NamedTuple):
+    swq: jnp.ndarray            # m over ice area (snow incl. liquid)
+    surf_temp: jnp.ndarray
+    pack_temp: jnp.ndarray
+    surf_water: jnp.ndarray
+    pack_water: jnp.ndarray
+    melt_m: jnp.ndarray         # m of melt outflow to the lake (snowmlt)
+    ice_melt_m: jnp.ndarray     # m of LAKE ice melted from the top
+    lake_ice_m: jnp.ndarray     # m of lake ice remaining (per ice area)
+    vapor_flux: jnp.ndarray     # m/step, sign flipped like the reference
+    qnet: jnp.ndarray
+    surf_temp_fbflag: jnp.ndarray
+    cold_content: jnp.ndarray
+    terms: IceEBTerms
+    sw_under_ice: jnp.ndarray   # saved as energy.deltaCC (lakes.eb.c)
+
+
+def lake_ice_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
+                  lake_ice_m, hice, rainfall_mm, snowfall_mm,
+                  tair, wind, vp_air, vpd, pressure, air_dens, longwave_in,
+                  net_short, tcutoff, ra, z_ref, roughness, dt_sec,
+                  max_iter: int = 30, blowing_flux=0.0,
+                  active=None) -> IceMeltResult:
+    """Batched ice_melt.c: two-layer (surface/pack) snow over lake ice.
+    All mass states in m of water equivalent over the ICE area."""
+    snowfall = snowfall_mm / 1000.0
+    rainfall = rainfall_mm / 1000.0
+    old_tsurf = surf_temp
+    initial_swq = swq
+    initial_ice = lake_ice_m
+
+    snow_ice = swq - pack_water - surf_water
+    ice = snow_ice + lake_ice_m
+    surface_swq = jnp.minimum(ice, c.MAX_SURFACE_SWE)
+    surf_covers = surface_swq <= snow_ice
+    pack_swq = jnp.where(surf_covers, snow_ice - surface_swq, 0.0)
+    pack_ice = jnp.where(surf_covers, lake_ice_m, ice - surface_swq)
+
+    surface_cc = c.CH_ICE * surface_swq * surf_temp
+    pack_cc = c.CH_ICE * (pack_swq + pack_ice) * pack_temp
+    snowfall_cc = jnp.where(tair > 0.0, 0.0, c.CH_ICE * snowfall * tair)
+
+    # distribute fresh snowfall (ice_melt.c:232-258)
+    spill = snowfall > (c.MAX_SURFACE_SWE - surface_swq)
+    delta_pack_swq = jnp.where(spill,
+                               surface_swq + snowfall - c.MAX_SURFACE_SWE, 0.0)
+    delta_pack_cc = jnp.where(
+        spill,
+        jnp.where(delta_pack_swq > surface_swq,
+                  surface_cc + (snowfall - c.MAX_SURFACE_SWE)
+                  / jnp.maximum(snowfall, c.SMALL) * snowfall_cc,
+                  delta_pack_swq / jnp.maximum(surface_swq, c.SMALL)
+                  * surface_cc),
+        0.0)
+    surface_swq = jnp.where(spill, c.MAX_SURFACE_SWE, surface_swq + snowfall)
+    surface_cc = surface_cc + snowfall_cc - delta_pack_cc
+    pack_swq = pack_swq + delta_pack_swq
+    pack_cc = pack_cc + delta_pack_cc
+    surf_temp = jnp.where(surface_swq > 0.0,
+                          surface_cc / (c.CH_ICE
+                                        * jnp.maximum(surface_swq, c.SMALL)),
+                          0.0)
+    pack_temp = jnp.where(pack_swq + pack_ice > 0.0,
+                          pack_cc / (c.CH_ICE * jnp.maximum(
+                              pack_swq + pack_ice, c.SMALL)), 0.0)
+    snow_ice = snow_ice + snowfall
+    ice = ice + snowfall
+    surf_water = surf_water + rainfall
+
+    avgcond, sw_conducted, sw_under_ice = icerad(
+        net_short, hice, snow_ice * c.RHO_W / RHOSNOW)
+
+    lv_ice = (677.0 - 0.07 * tair) * c.JOULES_PER_CAL * c.GRAMS_PER_KG
+    term_kwargs = dict(
+        dt_sec=dt_sec, ra=ra, z_ref=z_ref, roughness=roughness, wind=wind,
+        net_short=net_short, longwave_in=longwave_in, air_dens=air_dens,
+        lv=lv_ice, tair=tair, pressure=pressure, vpd=vpd, vp_air=vp_air,
+        rain_m=rainfall, surf_water=surf_water, tcutoff=tcutoff,
+        avgcond=avgcond, sw_conducted=sw_conducted,
+        blowing_flux=blowing_flux)
+
+    terms0 = ice_energy_terms(jnp.zeros_like(swq), **term_kwargs)
+    melt_cond = terms0.rest == 0.0
+
+    # ------- Branch A: surface at 0C, melt/refreeze (ice_melt.c:309-410) ----
+    refreeze = terms0.refreeze_energy
+    refrozen = jnp.clip(refreeze * dt_sec / (c.LF * c.RHO_W), 0.0, surf_water)
+    freezing = refreeze >= 0.0
+    a_surface_swq = surface_swq + jnp.where(freezing, refrozen, 0.0)
+    a_snow_ice = snow_ice + jnp.where(freezing, refrozen, 0.0)
+    a_ice = ice + jnp.where(freezing, refrozen, 0.0)
+    a_surf_water = jnp.maximum(
+        surf_water - jnp.where(freezing, refrozen, 0.0), 0.0)
+    snowmelt = jnp.where(freezing, 0.0,
+                         jnp.abs(refreeze) * dt_sec / (c.LF * c.RHO_W))
+
+    vflux = terms0.vapor_flux
+    vflux_a = jnp.where(a_surf_water < -vflux, -a_surf_water, vflux)
+    a_surf_water = jnp.maximum(a_surf_water + vflux_a, 0.0)
+
+    # melt partitioning (ice_melt.c:352-410): pack -> surface -> lake ice
+    case1 = snowmelt <= pack_swq
+    case2 = jnp.logical_and(~case1, snowmelt <= a_snow_ice)
+    case3 = jnp.logical_and(~case1, jnp.logical_and(~case2, snowmelt < a_ice))
+    # complete melt otherwise
+    complete = jnp.logical_and(~case1, jnp.logical_and(~case2, ~case3))
+
+    sw1 = a_surf_water + snowmelt
+    ps1 = pack_swq - snowmelt
+
+    sw2 = a_surf_water + snowmelt + pack_water
+    ss2 = a_surface_swq - (snowmelt - pack_swq)
+
+    sw3 = a_surf_water + a_snow_ice + pack_water
+    icemelt3 = snowmelt - a_snow_ice
+    lake3 = lake_ice_m - icemelt3
+    ss3 = jnp.where(a_surface_swq > snowmelt, a_surface_swq - snowmelt, 0.0)
+    pi3 = jnp.where(a_surface_swq > snowmelt, pack_ice,
+                    pack_ice - (snowmelt - a_surface_swq))
+
+    sw4 = a_surf_water + a_snow_ice + pack_water
+    snowmelt4 = a_ice
+
+    a_surf_water_m = jnp.where(case1, sw1, jnp.where(case2, sw2,
+                               jnp.where(case3, sw3, sw4)))
+    a_pack_water_m = jnp.where(case1, pack_water, 0.0)
+    a_pack_swq_m = jnp.where(case1, ps1, 0.0)
+    a_surface_swq_m = jnp.where(case1, a_surface_swq,
+                                jnp.where(case2, ss2,
+                                          jnp.where(case3, ss3, 0.0)))
+    a_pack_ice_m = jnp.where(case3, pi3, jnp.where(complete, 0.0, pack_ice))
+    a_snow_ice_m = jnp.where(case1, a_snow_ice - snowmelt,
+                             jnp.where(case2, a_snow_ice - snowmelt, 0.0))
+    a_lake_ice_m = jnp.where(case3, lake3, jnp.where(complete, 0.0,
+                                                     lake_ice_m))
+    a_ice_m = jnp.where(complete, 0.0, a_ice - jnp.where(complete, 0.0,
+                                                         snowmelt))
+    a_ice_melt = jnp.where(case3, icemelt3,
+                           jnp.where(complete, lake_ice_m, 0.0))
+    a_snowmelt = jnp.where(complete, snowmelt4, snowmelt)
+    a_surf_temp = jnp.zeros_like(surf_temp)
+    a_pack_temp = jnp.where(complete, 0.0, pack_temp)
+
+    a_state = dict(surface_swq=a_surface_swq_m, pack_swq=a_pack_swq_m,
+                   surf_water=a_surf_water_m, pack_water=a_pack_water_m,
+                   snow_ice=a_snow_ice_m, lake_ice=a_lake_ice_m,
+                   pack_ice=a_pack_ice_m, ice=a_ice_m,
+                   surf_temp=a_surf_temp, pack_temp=a_pack_temp,
+                   vapor_flux=vflux_a, ice_melt=a_ice_melt,
+                   snowmelt=a_snowmelt)
+
+    # ------- Branch B: subfreezing surface, Brent (ice_melt.c:425-520) ------
+    def resid(t):
+        return ice_energy_terms(t, **term_kwargs).rest
+
+    thin = surface_swq <= 0.0010  # MIN_SWQ_EB_THRES (snow.h:68)
+    brent_active = jnp.logical_and(~melt_cond, ~thin)
+    if active is not None:
+        brent_active = jnp.logical_and(brent_active, active)
+    res = batched_brent(resid, old_tsurf - c.SNOW_DT, old_tsurf + c.SNOW_DT,
+                        max_iter=max_iter, active=brent_active)
+    ok = jnp.logical_and(res.converged, ~thin)
+    b_surf_temp = jnp.where(ok, res.root, old_tsurf)  # TFALLBACK (+ thin)
+    fbflag = jnp.logical_and(~ok, ~melt_cond)
+    terms_b = ice_energy_terms(b_surf_temp, **term_kwargs)
+
+    # all surface liquid refreezes (ice_melt.c:480-487)
+    b_surface_swq = surface_swq + surf_water
+    b_snow_ice = snow_ice + surf_water
+    b_ice = ice + surf_water
+    b_surf_water = jnp.zeros_like(surf_water)
+    # vapor flux adjustment vs SurfaceSwq with lake-ice fallback
+    # (ice_melt.c:489-517)
+    bv = terms_b.vapor_flux
+    exceeds = b_surface_swq < -bv
+    surf_over_snow = b_surface_swq > b_snow_ice   # ice_melt.c:492
+    snow_has = b_snow_ice > -bv                   # ice_melt.c:510
+    bv_adj = jnp.where(exceeds, -b_surface_swq, bv)
+    b_lake_ice = jnp.where(
+        exceeds,
+        jnp.where(surf_over_snow,
+                  lake_ice_m - (b_surface_swq - b_snow_ice), lake_ice_m),
+        jnp.where(snow_has, lake_ice_m, lake_ice_m + (bv + b_snow_ice)))
+    b_snow_ice2 = jnp.where(
+        exceeds, jnp.where(surf_over_snow, 0.0, b_snow_ice),
+        jnp.where(snow_has, b_snow_ice + bv, 0.0))
+    b_surface_swq2 = jnp.where(
+        exceeds, jnp.where(surf_over_snow, b_surface_swq, 0.0),
+        b_surface_swq + bv)
+    b_ice2 = jnp.where(exceeds,
+                       jnp.where(surf_over_snow, pack_ice,
+                                 pack_swq + pack_ice),
+                       b_ice + bv)
+    b_state = dict(surface_swq=jnp.maximum(b_surface_swq2, 0.0),
+                   pack_swq=pack_swq,
+                   surf_water=b_surf_water, pack_water=pack_water,
+                   snow_ice=b_snow_ice2,
+                   lake_ice=jnp.maximum(b_lake_ice, 0.0),
+                   pack_ice=pack_ice,
+                   ice=jnp.maximum(b_ice2, 0.0),
+                   surf_temp=b_surf_temp, pack_temp=pack_temp,
+                   vapor_flux=bv_adj,
+                   ice_melt=jnp.zeros_like(swq),
+                   snowmelt=jnp.zeros_like(swq))
+
+    sel = lambda k: jnp.where(melt_cond, a_state[k], b_state[k])
+    surface_swq = sel("surface_swq")
+    pack_swq = sel("pack_swq")
+    surf_water = sel("surf_water")
+    pack_water = sel("pack_water")
+    snow_ice = sel("snow_ice")
+    lake_ice = sel("lake_ice")
+    pack_ice = sel("pack_ice")
+    ice = sel("ice")
+    surf_temp = sel("surf_temp")
+    pack_temp = sel("pack_temp")
+    vapor_flux = sel("vapor_flux")
+    ice_melt_m = sel("ice_melt")
+    terms = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(melt_cond, a, b), terms0, terms_b)
+
+    # ------- liquid capacity + pack refreeze (ice_melt.c:528-590) -----------
+    max_liquid = c.SNOW_LIQUID_WATER_CAPACITY * jnp.minimum(snow_ice,
+                                                            surface_swq)
+    melt_out = jnp.maximum(surf_water - max_liquid, 0.0)
+    surf_water = jnp.minimum(surf_water, max_liquid)
+
+    pack_water = pack_water + melt_out
+    pack_cc = c.CH_ICE * (pack_swq + pack_ice) * pack_temp
+    pack_refreeze_e = pack_water * c.LF * c.RHO_W
+    cold_enough = pack_cc < -pack_refreeze_e
+    pack_swq_f = pack_swq + pack_water
+    ice_f = ice + pack_water
+    snow_ice_f = snow_ice + pack_water
+    pack_cc_f = pack_cc + pack_refreeze_e
+    pack_temp_f = jnp.where(
+        pack_swq_f + pack_ice > 0.0,
+        jnp.minimum(pack_cc_f / (c.CH_ICE * jnp.maximum(
+            pack_swq_f + pack_ice, c.SMALL)), 0.0), 0.0)
+    delta_pack = -pack_cc / (c.LF * c.RHO_W)
+    pack_swq = jnp.where(cold_enough, pack_swq_f, pack_swq + delta_pack)
+    ice = jnp.where(cold_enough, ice_f, ice + delta_pack)
+    snow_ice = jnp.where(cold_enough, snow_ice_f, snow_ice + delta_pack)
+    pack_water = jnp.where(cold_enough, 0.0,
+                           jnp.maximum(pack_water - delta_pack, 0.0))
+    pack_temp = jnp.where(cold_enough, pack_temp_f, 0.0)
+
+    max_liquid_pack = c.SNOW_LIQUID_WATER_CAPACITY * pack_swq
+    melt_out = jnp.maximum(pack_water - max_liquid_pack, 0.0)
+    pack_water = jnp.minimum(pack_water, max_liquid_pack)
+
+    # ------- re-layer around MAX_SURFACE_SWE (ice_melt.c:593-625) -----------
+    ice = pack_ice + pack_swq + surface_swq
+    deep = ice > c.MAX_SURFACE_SWE
+    surface_cc = c.CH_ICE * surf_temp * surface_swq
+    pack_cc = c.CH_ICE * pack_temp * (pack_swq + pack_ice)
+    excess = surface_swq - c.MAX_SURFACE_SWE
+    frac_s = excess / jnp.maximum(surface_swq, c.SMALL)
+    pack_cc_1 = pack_cc + surface_cc * frac_s
+    surface_cc_1 = surface_cc * (1.0 - frac_s)
+    pack_swq_1 = pack_swq + excess
+    deficit = c.MAX_SURFACE_SWE - surface_swq
+    frac_p = deficit / jnp.maximum(pack_swq + pack_ice, c.SMALL)
+    pack_cc_2 = pack_cc * (1.0 - frac_p)
+    surface_cc_2 = surface_cc + pack_cc * frac_p
+    pack_swq_2 = pack_swq - deficit
+
+    too_thick = surface_swq > c.MAX_SURFACE_SWE
+    exact = surface_swq == c.MAX_SURFACE_SWE
+    surface_swq_d = jnp.where(exact, surface_swq,
+                              jnp.full_like(surface_swq, c.MAX_SURFACE_SWE))
+    pack_swq_d = jnp.where(exact, pack_swq,
+                           jnp.where(too_thick, pack_swq_1, pack_swq_2))
+    surface_cc_d = jnp.where(exact, surface_cc,
+                             jnp.where(too_thick, surface_cc_1, surface_cc_2))
+    pack_cc_d = jnp.where(exact, pack_cc,
+                          jnp.where(too_thick, pack_cc_1, pack_cc_2))
+
+    surface_swq = jnp.where(deep, surface_swq_d, surface_swq)
+    pack_swq = jnp.where(deep, jnp.maximum(pack_swq_d, 0.0), 0.0)
+    pack_ice = jnp.where(deep, pack_ice, 0.0)
+    surf_temp = jnp.where(
+        deep, surface_cc_d / (c.CH_ICE * jnp.maximum(surface_swq_d, c.SMALL)),
+        surf_temp)
+    pack_temp = jnp.where(
+        deep, pack_cc_d / (c.CH_ICE * jnp.maximum(pack_swq_d + pack_ice,
+                                                  c.SMALL)), 0.0)
+
+    swq_out = snow_ice + surf_water + pack_water
+    cold_content = c.CH_ICE * surf_temp * surface_swq
+
+    return IceMeltResult(
+        swq=jnp.maximum(swq_out, 0.0), surf_temp=surf_temp,
+        pack_temp=pack_temp, surf_water=surf_water, pack_water=pack_water,
+        melt_m=melt_out, ice_melt_m=ice_melt_m,
+        lake_ice_m=jnp.maximum(lake_ice, 0.0),
+        vapor_flux=-vapor_flux, qnet=terms.rest, surf_temp_fbflag=fbflag,
+        cold_content=cold_content, terms=terms, sw_under_ice=sw_under_ice)
+
+# --------------------------------------------------------------------------
+# Water column under the ice (water_under_ice.c:45)
+# --------------------------------------------------------------------------
+
+class UnderIceResult(NamedTuple):
+    temp: jnp.ndarray
+    qw: jnp.ndarray              # flux out of the water at the ice base W/m2
+    delta_h: jnp.ndarray
+    energy_out_bottom: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def water_under_ice(*, temp, grid, lat, tcutoff, wind,
+                    sw_ice, hice, sdepth, dt_sec, active) -> UnderIceResult:
+    """Fixed-point iteration on the ice/water interface heat flux qw
+    (water_under_ice.c:94-147). Molecular diffusivity only (freezeflag=0).
+    Non-converged lanes: qw=0 and the column pinned at Tcutoff."""
+    rho0 = water_density(temp)
+    cp0 = specheat(temp)
+    jouleold = energycalc(temp, grid, cp0, rho0)
+    de = eddy_diffusivity(jnp.zeros_like(tcutoff, bool), wind, temp, lat,
+                          grid)
+    qw_init = 0.57 * (temp[..., 0] - tcutoff) / (grid.surfdz / 2.0)
+    sw_vis = A1 * sw_ice * jnp.exp(-1.0 * (LAMISW * hice + LAMSSW * sdepth))
+    sw_nir = A2 * sw_ice * jnp.exp(-1.0 * (LAMILW * hice + LAMSLW * sdepth))
+
+    def one_iter(qw):
+        t_new, joulenew, e_bot = temp_area(
+            sw_vis, sw_nir, -1.0 * qw, temp, rho0, de, dt_sec, grid, cp0)
+        dh = (joulenew - jouleold) / jnp.maximum(
+            grid.surface[..., 0] * dt_sec, c.SMALL)
+        t_new = tracer_mixer(t_new, grid, cp0)
+        qw_final = 0.57 * (t_new[..., 0] - tcutoff) / (grid.surfdz / 2.0)
+        qw_mean = (qw_final + qw) / 2.0
+        return t_new, dh, e_bot, qw_mean
+
+    z0 = jnp.zeros_like(qw_init)
+    init = (jnp.int32(0), qw_init, jnp.logical_not(active),
+            (temp, z0, z0, qw_init))
+
+    def cond(carry):
+        i, _, done, _ = carry
+        return jnp.logical_and(i < EB_MAX_ITER, ~done.all())
+
+    def body(carry):
+        i, qw, done, out = carry
+        t_new, dh, e_bot, qw_mean = one_iter(qw)
+        newly = jnp.abs(qw_mean - qw) <= EB_EPS
+        res = (t_new, dh, e_bot, qw_mean)
+        out2 = tuple(
+            jnp.where(done[..., None] if o.ndim == 2 else done, o_old, o)
+            for o, o_old in zip(res, out))
+        done2 = jnp.logical_or(done, newly)
+        return i + 1, jnp.where(done, qw, qw_mean), done2, out2
+
+    i, qw, done, out = jax.lax.while_loop(cond, body, init)
+    t_new, dh, e_bot, qw_mean = out
+
+    # workaround on non-convergence (water_under_ice.c:130-146)
+    t_fb = jnp.broadcast_to(tcutoff[..., None], temp.shape)
+    joule_fb = energycalc(t_fb, grid, cp0, rho0)
+    dh_fb = (joule_fb - jouleold) / jnp.maximum(
+        grid.surface[..., 0] * dt_sec, c.SMALL)
+    return UnderIceResult(
+        temp=jnp.where(done[..., None], t_new, t_fb),
+        qw=jnp.where(done, qw_mean, 0.0),
+        delta_h=jnp.where(done, dh, dh_fb),
+        energy_out_bottom=jnp.where(done, e_bot, 0.0),
+        converged=done)
+
+
+# --------------------------------------------------------------------------
+# Bottom ice growth / melt (lakeice, lakes.eb.c:1153)
+# --------------------------------------------------------------------------
+
+class LakeiceResult(NamedTuple):
+    ice_water_eq: jnp.ndarray       # m^3
+    energy_ice_melt_bot: jnp.ndarray  # W/m2 (positive = freezing)
+    qf: jnp.ndarray                 # heat flux at the ice base W/m2
+
+
+def lakeice(*, sw_ice, fracprv, dt_sec, snowflux, qw, sw_absorbed,
+            ice_water_eq, volume, sarea) -> LakeiceResult:
+    """Melt/freeze at the BOTTOM of the ice pack (the top is handled by
+    lake_ice_melt). Follows lakes.eb.c:1153-1262 including the
+    available-liquid restriction on freezing."""
+    qf = snowflux + sw_ice - sw_absorbed
+    e_bot = qf - qw
+    dibot = e_bot / (RHOICE * c.LF) * dt_sec
+    new_water_eq = dibot * sarea * fracprv * RHOICE / c.RHO_W
+    liquid = volume - ice_water_eq
+    # freezing limited by available liquid
+    freeze_full = liquid >= new_water_eq
+    some = liquid > 0.0
+    iwe_freeze = jnp.where(freeze_full, ice_water_eq + new_water_eq,
+                           jnp.where(some, volume, ice_water_eq))
+    iwe = jnp.where(dibot > 0.0, iwe_freeze,
+                    jnp.maximum(ice_water_eq + new_water_eq, 0.0))
+    return LakeiceResult(ice_water_eq=iwe, energy_ice_melt_bot=e_bot, qf=qf)
+
+
+def colavg(t_open, t_ice, fracprv, grid: LayerGrid):
+    """Average open-water and under-ice columns by ice fraction, weighted by
+    layer thickness x density (colavg, lakes.eb.c:735)."""
+    z = grid.z
+    rho_w = water_density(t_open) + 1000.0
+    rho_i = water_density(t_ice) + 1000.0
+    f = fracprv[..., None]
+    num = (1.0 - f) * t_open * z * rho_w + f * t_ice * z * rho_i
+    den = (1.0 - f) * z * rho_w + f * z * rho_i
+    return num / jnp.maximum(den, c.SMALL)
+
+# --------------------------------------------------------------------------
+# solve_lake: full energy budget sequencing (lakes.eb.c:8-540)
+# --------------------------------------------------------------------------
+
+class SolveLakeResult(NamedTuple):
+    state: LakeState                # snow/ice/temp updated; volume NOT yet
+    ice_throughfall_m3: jnp.ndarray  # precip falling straight into the lake
+    store_dump_m3: jnp.ndarray       # stranded pack slumping into the lake
+    precip_in_m3: jnp.ndarray        # TOTAL external precip input this step
+    snowmelt_m3: jnp.ndarray        # lake->snowmlt (m3, melt off the pack)
+    evap_m3: jnp.ndarray            # open-water evaporation
+    vapor_flux_m3: jnp.ndarray      # pack sublimation (m3, loss positive)
+    new_ice_area: jnp.ndarray       # lake->new_ice_area (m2) = next areai
+    sarea: jnp.ndarray              # liquid surface area at step start
+    ldepth: jnp.ndarray
+    fracprv: jnp.ndarray            # step-start ice fraction
+    albedo_lake: jnp.ndarray
+    # energy diagnostics, W/m2 over lake area (sign per reference)
+    net_short: jnp.ndarray
+    net_long: jnp.ndarray
+    sensible: jnp.ndarray
+    latent: jnp.ndarray
+    delta_h: jnp.ndarray
+    grnd_flux: jnp.ndarray
+    refreeze_energy: jnp.ndarray
+    advection: jnp.ndarray
+    energy_error: jnp.ndarray
+    tsurf: jnp.ndarray              # coverage-blended surface temperature
+    ice_fbflag: jnp.ndarray
+
+
+def solve_lake(lp: LakeParams, st: LakeState, *, snowfall_mm, rainfall_mm,
+               tair, wind, vp, sw_in, lw_in, vpd, pressure, air_density,
+               dt_sec, wind_h, snow_rough, lat, day_in_year,
+               new_snow_alb, alb_accum_a, alb_accum_b, alb_thaw_a,
+               alb_thaw_b, active) -> SolveLakeResult:
+    """One energy-budget pass over every lake lane (lakes.eb.c solve_lake).
+    vp/vpd/pressure in Pa. Does NOT touch the water balance (volume changes
+    only through ice phase bookkeeping), mirroring the reference split."""
+    NN = st.temp.shape[-1]
+    dt_h = dt_sec / 3600.0
+
+    liquid = jnp.maximum(st.volume - st.ice_water_eq, 0.0)
+    ldepth = depth_from_volume(lp, liquid)
+    grid = make_grid(lp, ldepth)
+    sarea = jnp.maximum(grid.surface[..., 0], 1.0)
+    fracprv = jnp.clip(st.ice_area / sarea, 0.0, 1.0)
+    tcutoff = freezing_point(pressure / 1000.0)
+
+    active = jnp.logical_and(jnp.asarray(lp.has_lake),
+                             jnp.logical_and(active, jnp.logical_or(
+                                 ldepth > 0.01, st.ice_area > 0.0)))
+
+    # ---- 2. precip and snow-store conversion (lakes.eb.c:196-232) ---------
+    # snow stores are carried in m over LAKE area; per-ice for the pack
+    # physics. (We rescale all four stores, fixing the reference's
+    # swq-only asymmetry at lakes.eb.c:199.)
+    has_ice_cover = fracprv > 0.0
+    to_ice = lambda x: jnp.where(has_ice_cover,
+                                 x / jnp.maximum(fracprv, c.SMALL), 0.0)
+    swq_i = to_ice(st.swe)
+    surf_water_i = to_ice(st.surf_water)
+    pack_water_i = to_ice(st.pack_water)
+    # stranded pack (ice gone) slumps into the lake: an internal transfer,
+    # tracked separately from precip throughfall for closure telemetry
+    store_dump = jnp.where(
+        jnp.logical_and(st.swe > 0.0, ~has_ice_cover), sarea * st.swe, 0.0)
+    ice_throughfall = jnp.zeros_like(sarea)
+
+    full_ice = fracprv >= 1.0
+    part_ice = jnp.logical_and(fracprv > FRACLIM, ~full_ice)
+    open_lake = fracprv <= FRACLIM
+
+    rain_to_lake_full = jnp.logical_and(full_ice, swq_i <= 0.0)
+    ice_throughfall = ice_throughfall + jnp.where(
+        rain_to_lake_full, rainfall_mm / 1000.0 * st.ice_area, 0.0)
+    ice_throughfall = ice_throughfall + jnp.where(
+        part_ice,
+        (snowfall_mm + rainfall_mm) / 1000.0 * (1.0 - fracprv) * sarea, 0.0)
+    rain_to_lake_part = jnp.logical_and(part_ice, swq_i <= 0.0)
+    ice_throughfall = ice_throughfall + jnp.where(
+        rain_to_lake_part, rainfall_mm / 1000.0 * fracprv * sarea, 0.0)
+    ice_throughfall = ice_throughfall + jnp.where(
+        open_lake, (rainfall_mm + snowfall_mm) / 1000.0 * sarea, 0.0)
+
+    rain_on_pack = jnp.where(
+        jnp.logical_or(rain_to_lake_full, jnp.logical_or(rain_to_lake_part,
+                                                         open_lake)),
+        0.0, rainfall_mm)
+    snow_on_pack = jnp.where(open_lake, 0.0, snowfall_mm)
+
+    # ---- 3. albedos and SW over ice/water (lakes.eb.c:237-270) ------------
+    surface_swq_i = jnp.minimum(swq_i - surf_water_i - pack_water_i,
+                                c.MAX_SURFACE_SWE)
+    coldcontent = c.CH_ICE * st.surf_temp * jnp.maximum(surface_swq_i, 0.0)
+    snow_depth_i = swq_i * c.RHO_W / RHOSNOW
+    alb = alblake(tcutoff, tair, st.salbedo, snow_on_pack, coldcontent,
+                  dt_h, st.last_snow, swq_i, snow_depth_i, st.melting,
+                  day_in_year, lat, new_snow_alb, alb_accum_a, alb_accum_b,
+                  alb_thaw_a, alb_thaw_b)
+    deep_snow = swq_i > SNOWCRIT * RHOSNOW / c.RHO_W
+    thin_snow = jnp.logical_and(swq_i > 0.0, ~deep_snow)
+    bare_ice = jnp.logical_and(fracprv > 0.0, swq_i <= 0.0)
+    alb_ice_eff = jnp.where(deep_snow, alb.albs,
+                            jnp.where(thin_snow, (alb.albi + alb.albs) / 2.0,
+                                      alb.albi))
+    sw_ice = jnp.where(jnp.logical_or(deep_snow, jnp.logical_or(
+        thin_snow, bare_ice)), sw_in * (1.0 - alb_ice_eff), 0.0)
+    albedo_lake = jnp.where(
+        jnp.logical_or(deep_snow, jnp.logical_or(thin_snow, bare_ice)),
+        fracprv * alb_ice_eff + (1.0 - fracprv) * alb.albw, alb.albw)
+    sw_water = sw_in * (1.0 - alb.albw)
+
+    # ---- 4./5. open-water column (lakes.eb.c:275-335) ---------------------
+    has_open = (1.0 - fracprv) > c.SMALL
+    windw = jnp.maximum(
+        wind * jnp.log((2.0 + ZWATER) / ZWATER)
+        / jnp.maximum(jnp.log(wind_h / ZWATER), c.SMALL), 0.0)
+    web = water_energy_balance(
+        temp=st.temp, grid=grid, lat=lat,
+        tcutoff=tcutoff, tair=tair, wind=windw, pressure=pressure, vp=vp,
+        air_density=air_density, longwave=lw_in, shortwave_net=sw_water,
+        wind_h=wind_h, fracprv=fracprv, lvolume=liquid, dt_sec=dt_sec,
+        active=jnp.logical_and(active, has_open))
+    cp0 = specheat(st.temp)
+    t_open = tracer_mixer(web.temp, grid, cp0)
+
+    Z = lambda: jnp.zeros_like(sarea)
+    open_f = jnp.where(has_open, 1.0 - fracprv, 0.0)
+    atmos_latent = open_f * web.qle
+    atmos_sensible = open_f * web.qh
+    net_long = open_f * web.lwnet
+    net_short = open_f * jnp.where(has_open, sw_water, 0.0)
+    refreeze = open_f * web.energy_ice_formation
+    delta_h = open_f * web.delta_h
+    grnd_flux = -1.0 * open_f * web.energy_out_bottom
+    tsurf_blend = open_f * t_open[..., 0]
+    new_ice_area = jnp.where(has_open, web.new_ice_area, 0.0)
+    new_ice_we = jnp.where(has_open, web.new_ice_water_eq, 0.0)
+    evap_mm_s = jnp.where(has_open, web.evap_mm_s, 0.0)
+
+    # ---- 6.-8. ice fraction (lakes.eb.c:340-470) ---------------------------
+    has_icefrac = fracprv >= FRACLIM
+    windi = jnp.maximum(
+        wind * jnp.log((2.0 + snow_rough) / snow_rough)
+        / jnp.maximum(jnp.log(wind_h / snow_rough), c.SMALL), 1.0)
+    aero_resist_i = (jnp.log((2.0 + snow_rough) / snow_rough)
+                     * jnp.log(wind_h / snow_rough)
+                     / (c.VON_K ** 2)) / windi
+    lake_ice_m = jnp.where(st.ice_area > 0.0,
+                           st.ice_water_eq / jnp.maximum(st.ice_area, 1.0),
+                           0.0)
+    im = lake_ice_melt(
+        swq=swq_i, surf_temp=st.surf_temp, pack_temp=st.pack_temp,
+        surf_water=surf_water_i, pack_water=pack_water_i,
+        lake_ice_m=lake_ice_m, hice=st.ice_height,
+        rainfall_mm=rain_on_pack, snowfall_mm=snow_on_pack,
+        tair=tair, wind=windi, vp_air=vp, vpd=vpd, pressure=pressure,
+        air_dens=air_density, longwave_in=lw_in, net_short=sw_ice,
+        tcutoff=tcutoff, ra=aero_resist_i,
+        z_ref=wind_h + snow_rough, roughness=snow_rough, dt_sec=dt_sec,
+        active=jnp.logical_and(active, has_icefrac))
+
+    ui = water_under_ice(
+        temp=st.temp, grid=grid, lat=lat,
+        tcutoff=tcutoff, wind=wind, sw_ice=sw_ice, hice=st.ice_height,
+        sdepth=im.swq * c.RHO_W / RHOSNOW, dt_sec=dt_sec,
+        active=jnp.logical_and(active, has_icefrac))
+
+    iwe_after_top = im.lake_ice_m * st.ice_area
+    li = lakeice(sw_ice=sw_ice, fracprv=fracprv, dt_sec=dt_sec,
+                 snowflux=im.terms.qf, qw=ui.qw, sw_absorbed=im.sw_under_ice,
+                 ice_water_eq=iwe_after_top,
+                 volume=st.volume - new_ice_we, sarea=grid.surface[..., 0])
+    iwe_bot = jnp.where(iwe_after_top > 0.0, li.ice_water_eq, iwe_after_top)
+    e_melt_bot = jnp.where(iwe_after_top > 0.0, li.energy_ice_melt_bot, 0.0)
+
+    # fracprv < FRACLIM: any residual thin ice slab is dumped into the lake
+    # water (lakes.eb.c:404-420); its pack rides along until fracprv==0
+    dump = jnp.logical_and(~has_icefrac, fracprv > 0.0)
+
+    # merge ice-fraction outcomes
+    I = lambda new, old: jnp.where(has_icefrac, new, old)
+    swq_i2 = I(im.swq, swq_i)
+    surf_temp2 = I(im.surf_temp, st.surf_temp)
+    pack_temp2 = I(im.pack_temp, st.pack_temp)
+    surf_water_i2 = I(im.surf_water, surf_water_i)
+    pack_water_i2 = I(im.pack_water, pack_water_i)
+    tempi2 = I(im.surf_temp, jnp.where(dump, 0.0, st.tempi))
+    t_ice = jnp.where(has_icefrac[..., None], ui.temp, st.temp)
+    iwe2 = jnp.where(has_icefrac, iwe_bot, jnp.where(dump, 0.0,
+                                                     st.ice_water_eq))
+    areai2 = jnp.where(has_icefrac, st.ice_area, 0.0)
+    # volume loss to sublimation of lake ice (ice_melt.c:617:
+    # volume -= (InitialIce - LakeIce - IceMelt) * areai)
+    vol_subl = jnp.where(
+        has_icefrac,
+        -(lake_ice_m - im.lake_ice_m - im.ice_melt_m) * st.ice_area, 0.0)
+
+    atmos_latent = atmos_latent + jnp.where(
+        has_icefrac, fracprv * (im.terms.latent + im.terms.latent_sub), 0.0)
+    atmos_sensible = atmos_sensible + jnp.where(
+        has_icefrac, fracprv * im.terms.sensible, 0.0)
+    net_long = net_long + jnp.where(has_icefrac, fracprv * im.terms.lwnet,
+                                    0.0)
+    net_short = net_short + jnp.where(has_icefrac, fracprv * sw_ice, 0.0)
+    delta_h = delta_h + jnp.where(has_icefrac, fracprv * ui.delta_h, 0.0)
+    grnd_flux = grnd_flux - jnp.where(
+        has_icefrac, fracprv * ui.energy_out_bottom, 0.0)
+    advection = jnp.where(has_icefrac, fracprv * im.terms.advection, 0.0)
+    refreeze = refreeze + jnp.where(
+        has_icefrac, fracprv * (im.terms.refreeze_energy + e_melt_bot), 0.0)
+    tsurf_blend = tsurf_blend + jnp.where(has_icefrac,
+                                          fracprv * im.surf_temp, 0.0)
+
+    # ---- 9. column average (lakes.eb.c:440-455) ----------------------------
+    t_avg = colavg(t_open, t_ice, fracprv, grid)
+
+    # ---- 10. energy closure (lakes.eb.c:458-476, sign convention) ---------
+    energy_error = (net_short + net_long + atmos_sensible + atmos_latent
+                    - delta_h + grnd_flux + refreeze + advection)
+
+    # ---- 11. final bookkeeping (lakes.eb.c:480-540) ------------------------
+    snowmelt_m3 = jnp.where(has_icefrac,
+                            im.melt_m * fracprv * sarea, 0.0)
+    vapor_m3 = jnp.where(has_icefrac,
+                         im.vapor_flux * fracprv * sarea, 0.0)
+    evap_m3 = evap_mm_s * (1.0 - fracprv) * dt_sec * 0.001 * sarea
+
+    # back to per-lake-area stores
+    swe_new = swq_i2 * fracprv
+    surf_water_new = surf_water_i2 * fracprv
+    pack_water_new = pack_water_i2 * fracprv
+
+    total_ice_area = areai2 + new_ice_area
+    iwe3 = iwe2 + jnp.where(new_ice_area > 0.0, new_ice_we, 0.0)
+    hice = jnp.where(
+        jnp.logical_and(iwe3 > 0.0, total_ice_area > 0.0),
+        iwe3 / jnp.maximum(total_ice_area, c.SMALL) * c.RHO_W / RHOICE, 0.0)
+    gone = hice <= 0.0
+    thin_ice = jnp.logical_and(~gone, hice < FRACMIN)
+    total_ice_area = jnp.where(
+        gone, 0.0, jnp.where(thin_ice, total_ice_area * hice / FRACMIN,
+                             total_ice_area))
+    hice = jnp.where(gone, 0.0, jnp.where(thin_ice, FRACMIN, hice))
+
+    # inactive lanes: everything passes through
+    keep = ~active
+    K = lambda new, old: jnp.where(keep, old, new)
+    new_state = LakeState(
+        volume=K(st.volume + vol_subl, st.volume),
+        temp=jnp.where(keep[..., None], st.temp, t_avg),
+        ice_water_eq=K(jnp.maximum(iwe3, 0.0), st.ice_water_eq),
+        ice_area=K(st.ice_area, st.ice_area),   # areai updates next step
+        ice_height=K(hice, st.ice_height),
+        swe=K(swe_new, st.swe), tempi=K(tempi2, st.tempi),
+        surf_temp=K(surf_temp2, st.surf_temp),
+        pack_temp=K(pack_temp2, st.pack_temp),
+        surf_water=K(surf_water_new, st.surf_water),
+        pack_water=K(pack_water_new, st.pack_water),
+        salbedo=K(alb.salbedo, st.salbedo),
+        last_snow=K(alb.last_snow, st.last_snow),
+        melting=jnp.where(keep, st.melting, alb.melting))
+    Zm = lambda x: jnp.where(keep, 0.0, x)
+    precip_in_m3 = (ice_throughfall
+                    + (rain_on_pack + snow_on_pack) / 1000.0
+                    * fracprv * sarea)
+    return SolveLakeResult(
+        state=new_state,
+        ice_throughfall_m3=Zm(ice_throughfall),
+        store_dump_m3=Zm(store_dump), precip_in_m3=Zm(precip_in_m3),
+        snowmelt_m3=Zm(snowmelt_m3),
+        evap_m3=Zm(evap_m3), vapor_flux_m3=Zm(vapor_m3),
+        new_ice_area=Zm(total_ice_area), sarea=sarea, ldepth=ldepth,
+        fracprv=Zm(fracprv), albedo_lake=jnp.where(keep, 0.0, albedo_lake),
+        net_short=Zm(net_short), net_long=Zm(net_long),
+        sensible=Zm(atmos_sensible), latent=Zm(atmos_latent),
+        delta_h=Zm(-delta_h), grnd_flux=Zm(grnd_flux),
+        refreeze_energy=Zm(refreeze), advection=Zm(advection),
+        energy_error=Zm(energy_error), tsurf=Zm(tsurf_blend),
+        ice_fbflag=jnp.where(keep, False, im.surf_temp_fbflag))
+
+# --------------------------------------------------------------------------
+# Water balance + public step API (water_balance, lakes.eb.c:1870-2200)
+# --------------------------------------------------------------------------
 
 class LakeStepResult(NamedTuple):
     state: LakeState
@@ -214,229 +1490,209 @@ class LakeStepResult(NamedTuple):
     depth: jnp.ndarray
     sarea: jnp.ndarray
     ice_fract: jnp.ndarray
-    surf_temp: jnp.ndarray
-    # wetland recharge exchange (water_balance, lakes.eb.c:2016-2096)
-    recharge_m3: jnp.ndarray = None      # water taken from the lake
-    wetland_dmoist_mm: jnp.ndarray = None  # [c, nl] added to wetland soil
+    surf_temp: jnp.ndarray           # coverage-blended lake surface T
+    recharge_m3: jnp.ndarray         # water taken from the lake to wetland
+    wetland_dmoist_mm: jnp.ndarray   # [c, nl] added to wetland soil
+    snowmelt_m3: jnp.ndarray
+    vapor_flux_m3: jnp.ndarray       # pack+ice sublimation (loss positive)
+    precip_in_m3: jnp.ndarray
+    water_error_mm: jnp.ndarray      # lake water-budget residual, mm over lake
+    energy_error: jnp.ndarray        # W/m2 over lake
+    albedo_lake: jnp.ndarray
+    net_short: jnp.ndarray
+    net_long: jnp.ndarray
+    sensible: jnp.ndarray
+    latent: jnp.ndarray
+    delta_h: jnp.ndarray
+    grnd_flux: jnp.ndarray
+    refreeze_energy: jnp.ndarray
+    advection: jnp.ndarray
+    ice_fbflag: jnp.ndarray
 
 
 def lake_step(lp: LakeParams, st: LakeState, *, tair, wind, sw_in, lw_in,
-              vp_air, pressure, prec_mm, snowfall_mm, runoff_in_m3,
-              baseflow_in_m3, lat, elevation, ds, dsmax, ws_arno, c_arno,
-              dt_sec, wetland_moist=None,
-              wetland_max_moist=None) -> LakeStepResult:
-    """One model step of the lake column + water balance for every cell lane.
-    Inactive lanes (has_lake False or volume 0) pass through unchanged."""
-    NN = st.temp.shape[-1]
+              vp_air, vpd, pressure, air_density, rainfall_mm, snowfall_mm,
+              runoff_in_m3, baseflow_in_m3, lat, day_in_year, wind_h,
+              snow_rough, new_snow_alb, alb_accum_a, alb_accum_b,
+              alb_thaw_a, alb_thaw_b, ds, dsmax, ws_arno, dt_sec,
+              wetland_moist=None, wetland_max_moist=None,
+              wetland_bottom_ice=None, active=None) -> LakeStepResult:
+    """One model step: solve_lake energy budget followed by water_balance
+    (full_energy.c:763-800 sequencing). Inactive lanes pass through.
+    vp_air/vpd/pressure in Pa. Mass fluxes in m^3 over the cell's lake."""
+    if active is None:
+        active = jnp.ones_like(st.volume, bool)
     dt_h = dt_sec / 3600.0
-
-    liquid = jnp.maximum(st.volume - st.ice_water_eq, 0.0)
-    depth = depth_from_volume(lp, liquid)
-    sarea = jnp.maximum(area_from_depth(lp, depth), 1.0)
-    active = jnp.logical_and(jnp.asarray(lp.has_lake), depth > 0.01)
-
-    dz = jnp.maximum(depth / NN, 1e-3)
-    surfdz = dz
-    ice_fract = jnp.clip(st.ice_area / sarea, 0.0, 1.0)
-
-    # ---- surface energy balance on open water (water_energy_balance) ------
-    t0 = st.temp[..., 0]
-    tkelv = t0 + c.KELVIN
-    net_long = lw_in - 0.97 * c.STEFAN_B * tkelv ** 4
-    sw_net = sw_in * (1.0 - c.H2O_SURF_ALBEDO)
-    ra = 1.0 / jnp.maximum(0.0013 * wind, 1e-5)   # bulk transfer
-    sensible = 1.23 * c.CP * (tair - t0) / ra
-    es0 = svp(t0)
-    le = 2.501e6 - 2361.0 * t0
-    # bulk evaporative mass flux kg/m^2/s (positive = condensation)
-    evap_flux = 1.23 * (c.EPS_RATIO / pressure) * (vp_air - es0) / ra
-    latent = le * (-evap_flux)       # positive = surface cooling
-    evap_mm = jnp.clip(-evap_flux * dt_sec, 0.0, None)  # 1 kg/m^2 == 1 mm
-
-    open_frac = 1.0 - ice_fract
-    qnet_surf = (sw_net * 0.6 + net_long + sensible - latent) * open_frac
-
-    # ---- layer temperature update: implicit diffusion ---------------------
-    # SW attenuation: Beer's law with eta = 1.1925*depth^-0.424 (LAKE.h lamisw)
-    eta = 1.1925 * jnp.power(jnp.maximum(depth, 0.1), -0.424)
-    k_idx = jnp.arange(NN)
-    z_top_l = k_idx * dz[..., None]
-    z_bot_l = (k_idx + 1) * dz[..., None]
-    sw_abs = sw_net[..., None] * 0.4 * (
-        jnp.exp(-eta[..., None] * z_top_l) - jnp.exp(-eta[..., None] * z_bot_l))
-
-    cp_w = c.CH_WATER  # volumetric heat capacity J/m3/K
-    de = eddy_diffusivity(wind, st.temp, lat, dz, surfdz,
-                          freeze_flag=ice_fract > 0.5)
-
-    # implicit tridiagonal: (I - dt/dz^2 * D) T_new = T_old + sources
-    from ..ops.tridiag import thomas_solve
-    alpha = de[..., :-1] * dt_sec / (dz[..., None] ** 2)
-    dl = jnp.concatenate([jnp.zeros_like(alpha[..., :1]), -alpha], -1)
-    du = jnp.concatenate([-alpha, jnp.zeros_like(alpha[..., :1])], -1)
-    dmain = 1.0 + jnp.concatenate(
-        [alpha, jnp.zeros_like(alpha[..., :1])], -1) + jnp.concatenate(
-        [jnp.zeros_like(alpha[..., :1]), alpha], -1)
-    src = sw_abs * dt_sec / (cp_w * dz[..., None])
-    src = src.at[..., 0].add(qnet_surf * dt_sec / (cp_w * dz))
-    rhs = st.temp + src
-    t_new = thomas_solve(dl, dmain, du, rhs)
-
-    # ---- convective mixing sweeps (tracer_mixer:296): red-black pairwise
-    # averaging of density-unstable neighbors, fixed sweep budget ------------
-    def _pairwise_mix(T):
-        for parity in (0, 1):
-            rho = water_density(T)
-            unstable = rho[..., :-1] > rho[..., 1:]
-            sel = (jnp.arange(NN - 1) % 2) == parity
-            do = jnp.logical_and(unstable, sel)
-            tm = (T[..., :-1] + T[..., 1:]) / 2.0
-            T = T.at[..., :-1].set(jnp.where(do, tm, T[..., :-1]))
-            T = T.at[..., 1:].set(jnp.where(do, tm, T[..., 1:]))
-        return T
-
-    t_new = jax.lax.fori_loop(0, 4, lambda i, T: _pairwise_mix(T), t_new)
-
-    # ---- ice formation / melt (iceform / lakeice) -------------------------
-    tcut = freezing_point(0.0)
-    supercool = jnp.maximum(tcut - t_new, 0.0)
-    layer_vol_m = dz[..., None] * jnp.ones((1, NN))
-    qfus_m = supercool * layer_vol_m * c.RHO_W * 4186.8 / (c.LF * RHOICE)
-    new_ice_m = qfus_m.sum(-1)         # m of ice over lake area
-    t_new = jnp.maximum(t_new, tcut)
-    new_ice_vol = new_ice_m * sarea * RHOICE / c.RHO_W  # m^3 water eq
-
-    # surface melt of existing ice when warm
-    melt_pot = jnp.where(
-        jnp.logical_and(st.ice_water_eq > 0.0, tair > 0.0),
-        (sw_net * (1.0 - 0.4) + jnp.maximum(net_long, 0.0)
-         + jnp.maximum(sensible, 0.0)) * dt_sec / (c.LF * c.RHO_W), 0.0)
-    ice_melt_vol = jnp.minimum(melt_pot * jnp.maximum(st.ice_area, 0.0),
-                               st.ice_water_eq + new_ice_vol)
-
-    ice_water_eq = jnp.maximum(st.ice_water_eq + new_ice_vol - ice_melt_vol,
-                               0.0)
-    grew = ice_water_eq > st.ice_water_eq
-    ice_area = jnp.where(
-        ice_water_eq <= 0.0, 0.0,
-        jnp.where(grew, jnp.minimum(st.ice_area + new_ice_m * sarea * 5.0,
-                                    sarea),
-                  st.ice_area * ice_water_eq
-                  / jnp.maximum(st.ice_water_eq, 1e-10)))
-    ice_area = jnp.minimum(ice_area, sarea)
-    ice_height = jnp.where(ice_area > 0.0,
-                           ice_water_eq * c.RHO_W / RHOICE
-                           / jnp.maximum(ice_area, 1.0), 0.0)
-
-    # ---- snow on lake ice (lakes.eb.c:343 ice_melt on snow-covered ice):
-    # snowfall accumulates on the ice fraction; melts with available surface
-    # energy; meltwater joins the lake volume -------------------------------
-    snow_gain_m = jnp.where(ice_area > 0.0, snowfall_mm / 1000.0, 0.0)
-    swe1 = st.swe + snow_gain_m
-    snow_melt_pot = jnp.where(
-        tair > 0.0,
-        (sw_net * 0.6 + jnp.maximum(net_long, 0.0)
-         + jnp.maximum(sensible, 0.0)) * dt_sec / (c.LF * c.RHO_W), 0.0)
-    snow_melt_m = jnp.minimum(swe1, snow_melt_pot)
-    swe_new = jnp.maximum(swe1 - snow_melt_m, 0.0)
-    swe_new = jnp.where(ice_area > 0.0, swe_new, 0.0)
-    # ice gone -> any remaining snow slumps into the lake
-    snow_dump_m = jnp.where(ice_area > 0.0, 0.0, swe1 - snow_melt_m)
-    snowmelt_m3 = (snow_melt_m + jnp.maximum(snow_dump_m, 0.0)) * st.ice_area
-
-    # ---- water balance (water_balance:1870) -------------------------------
-    inflow_m3 = runoff_in_m3 + baseflow_in_m3
-    # precip over open water (and rain through) enters the volume directly;
-    # snow captured on ice is held in the swe store until it melts
-    prec_m3 = (prec_mm / 1000.0 * sarea
-               - snow_gain_m * jnp.minimum(st.ice_area, sarea)) + snowmelt_m3
-    evap_m3 = jnp.minimum(evap_mm / 1000.0 * sarea * open_frac,
-                          jnp.maximum(liquid + inflow_m3 + prec_m3, 0.0))
-    volume = st.volume + inflow_m3 + prec_m3 - evap_m3
-
-    # ---- wetland recharge (water_balance, lakes.eb.c:2016-2096): when the
-    # lake grows, the newly-flooded wetland fringe is filled to saturation
-    # with lake water. delta_moist is expressed in mm over the whole wetland
-    # area exactly as the reference does ("mm over (1-lakefrac)",
-    # lakes.eb.c:2057), so it adds directly onto the wetland HRU's layers.
-    # Deviations (documented): the fill is scaled proportionally across
-    # layers when lake liquid cannot saturate all of them (the reference
-    # fills top-down, lakes.eb.c:2077-2092); the flooded fringe's
-    # above-ground snow/dew liberation and the receding-lake saturation of
-    # newly-exposed wetland (lakes.eb.c:2182) are not modeled — lake area
-    # does not rescale the static HRU weights in this architecture.
     basin0 = jnp.asarray(lp.basin)[..., 0]
+    pack_m3 = lambda s, sa: (s.swe) * sa
+
+    res = solve_lake(
+        lp, st, snowfall_mm=snowfall_mm, rainfall_mm=rainfall_mm, tair=tair,
+        wind=wind, vp=vp_air, sw_in=sw_in, lw_in=lw_in, vpd=vpd,
+        pressure=pressure, air_density=air_density, dt_sec=dt_sec,
+        wind_h=wind_h, snow_rough=snow_rough, lat=lat,
+        day_in_year=day_in_year, new_snow_alb=new_snow_alb,
+        alb_accum_a=alb_accum_a, alb_accum_b=alb_accum_b,
+        alb_thaw_a=alb_thaw_a, alb_thaw_b=alb_thaw_b, active=active)
+
+    s1 = res.state
+    sarea = res.sarea
     lakefrac = jnp.clip(jnp.maximum(sarea, st.ice_area)
                         / jnp.maximum(basin0, 1.0), 0.0, 1.0)
+    store_start_m3 = st.volume + pack_m3(st, sarea)
+
+    live = jnp.logical_and(jnp.asarray(lp.has_lake), active)
+    inflow = runoff_in_m3 + baseflow_in_m3
+    gains = res.ice_throughfall_m3 + res.store_dump_m3 + inflow \
+        + res.snowmelt_m3
+
+    # evaporation cap (lakes.eb.c:1988-1996)
+    liquid0 = jnp.maximum(s1.volume - s1.ice_water_eq, 0.0)
+    over = res.evap_m3 > liquid0 + gains
+    evap_m3 = jnp.where(over, jnp.maximum(liquid0 + gains, 0.0), res.evap_m3)
+    volume = jnp.where(over, s1.ice_water_eq, s1.volume + gains - evap_m3)
+
+    # new lake extent estimate before recharge (lakes.eb.c:1999-2013)
+    volume_save = volume
+    liquid1 = jnp.maximum(volume - s1.ice_water_eq, 0.0)
+    ldepth1 = depth_from_volume(lp, liquid1)
+    surfacearea = area_from_depth(lp, ldepth1)
+    surfacearea = jnp.maximum(surfacearea, res.new_ice_area)
+    max_newfraction = jnp.clip(surfacearea / jnp.maximum(basin0, 1.0),
+                               0.0, 1.0)
+
+    # ---- wetland recharge (lakes.eb.c:2046-2096) ---------------------------
+    # The newly-flooded fringe is filled to saturation with lake water.
+    # delta_moist is mm over (1-lakefrac) so it adds directly onto the
+    # wetland HRU's layers. Deviation (documented): the flooded fringe's
+    # above-ground snow/dew liberation (lakes.eb.c:2064) and the
+    # receding-lake advection (advect_soil_veg_storage) are not modeled —
+    # lake area does not rescale the static HRU weights here.
     if wetland_moist is not None:
-        liquid1 = jnp.maximum(volume - ice_water_eq, 0.0)
-        newfrac = jnp.clip(
-            jnp.maximum(area_from_depth(lp, depth_from_volume(lp, liquid1)),
-                        ice_area) / jnp.maximum(basin0, 1.0), 0.0, 1.0)
-        grow = jnp.logical_and(active, newfrac > lakefrac)
-        frac_ratio = jnp.clip((newfrac - lakefrac)
-                              / jnp.maximum(1.0 - lakefrac, 1e-6), 0.0, 1.0)
-        dmoist = jnp.maximum(wetland_max_moist - wetland_moist, 0.0) \
-            * frac_ratio[..., None]
-        recharge_m3 = dmoist.sum(-1) / 1000.0 * (1.0 - lakefrac) * basin0
-        avail = jnp.maximum(volume - ice_water_eq, 0.0)
-        scale = jnp.where(recharge_m3 > avail,
-                          avail / jnp.maximum(recharge_m3, 1e-12), 1.0)
-        dmoist = jnp.where(grow[..., None], dmoist * scale[..., None], 0.0)
-        recharge_m3 = jnp.where(grow, jnp.minimum(recharge_m3, avail), 0.0)
+        grow = jnp.logical_and(live, max_newfraction > lakefrac)
+        gfrac = (max_newfraction - lakefrac) \
+            / jnp.maximum(1.0 - lakefrac, 1e-6)
+        want = jnp.maximum(wetland_max_moist - wetland_moist, 0.0) \
+            * gfrac[..., None]                       # mm over (1-lakefrac)
+        recharge_m3 = want.sum(-1) / 1000.0 * (1.0 - lakefrac) * basin0
+        liquid2 = jnp.maximum(volume - s1.ice_water_eq, 0.0)
+        enough = liquid2 > recharge_m3
+        # restricted fill: mm over the flooded fringe, consumed top-down
+        # (lakes.eb.c:2077-2092)
+        avail_mm = 1000.0 * liquid2 / jnp.maximum(
+            (max_newfraction - lakefrac) * basin0, c.SMALL)
+        room = jnp.maximum(wetland_max_moist - wetland_moist, 0.0)
+        cum_before = jnp.cumsum(room, axis=-1) - room
+        fill = jnp.clip(avail_mm[..., None] - cum_before, 0.0, room)
+        dmoist_restricted = fill * gfrac[..., None]
+        dmoist = jnp.where(grow[..., None],
+                           jnp.where(enough[..., None], want,
+                                     dmoist_restricted), 0.0)
+        recharge_m3 = jnp.where(
+            grow, jnp.where(enough, recharge_m3, liquid2), 0.0)
         volume = volume - recharge_m3
     else:
         recharge_m3 = jnp.zeros_like(volume)
         dmoist = None
 
-    # ARNO baseflow through the lake bed (water_balance:185-228)
+    # ---- ARNO baseflow through the lake bed (lakes.eb.c:2100-2150) --------
     dsmax_step = dsmax / 24.0 * dt_h
-    rel_moist = jnp.ones_like(volume)  # saturated bed
-    baseflow_mm = dsmax_step * ds / ws_arno * rel_moist
-    baseflow_mm = baseflow_mm + dsmax_step * (1.0 - ds / ws_arno)
-    baseflow_out = jnp.clip(baseflow_mm / 1000.0 * sarea, 0.0,
-                            jnp.maximum(volume - ice_water_eq, 0.0))
+    if wetland_bottom_ice is not None:
+        rel_moist = jnp.clip(1.0 - wetland_bottom_ice, 0.0, 1.0)
+    else:
+        rel_moist = jnp.ones_like(volume)
+    frac = dsmax_step * ds / ws_arno
+    baseflow_mm = frac * rel_moist
+    over_ws = rel_moist > ws_arno
+    frac2 = jnp.where(over_ws, (rel_moist - ws_arno)
+                      / jnp.maximum(1.0 - ws_arno, c.SMALL), 0.0)
+    baseflow_mm = baseflow_mm + jnp.where(
+        over_ws, dsmax_step * (1.0 - ds / ws_arno) * frac2, 0.0)
+    baseflow_mm = jnp.maximum(baseflow_mm, 0.0)
+    liquid3 = jnp.maximum(volume - s1.ice_water_eq, 0.0)
+    ldepth3 = depth_from_volume(lp, liquid3)
+    area3 = area_from_depth(lp, ldepth3)
+    baseflow_out = jnp.clip(baseflow_mm * area3 / 1000.0, 0.0, liquid3)
     volume = volume - baseflow_out
 
-    # weir outflow (water_balance:239-255)
-    liquid2 = jnp.maximum(volume - ice_water_eq, 0.0)
-    depth2 = depth_from_volume(lp, liquid2)
-    circum = 2.0 * jnp.pi * jnp.sqrt(jnp.maximum(sarea, 0.0) / jnp.pi)
-    head = jnp.maximum(depth2 - lp.mindepth, 0.0)
+    # ---- weir outflow (lakes.eb.c:2152-2200) --------------------------------
+    liquid4 = jnp.maximum(volume - s1.ice_water_eq, 0.0)
+    ldepth4 = depth_from_volume(lp, liquid4)
+    circum = 2.0 * jnp.pi * jnp.sqrt(jnp.maximum(area3, 0.0) / jnp.pi)
+    head = ldepth4 - lp.mindepth
     runoff_out = jnp.where(
         head > 0.0,
-        lp.wfrac * circum * dt_sec * 1.6 * jnp.power(head, 1.5), 0.0)
-    runoff_out = jnp.clip(runoff_out, 0.0, liquid2)
-    runoff_out = jnp.minimum(runoff_out,
-                             jnp.maximum(volume - lp.minvolume, 0.0))
+        lp.wfrac * circum * dt_sec * 1.6
+        * jnp.power(jnp.maximum(head, 0.0), 1.5), 0.0)
+    runoff_out = jnp.minimum(runoff_out, liquid4)
+    runoff_out = jnp.clip(runoff_out,
+                          0.0, jnp.maximum(volume - lp.minvolume, 0.0))
     volume = volume - runoff_out
-    volume = jnp.minimum(volume, lp.maxvolume)
+    # growth caps (lakes.eb.c:2183-2200)
+    excess_save = jnp.maximum(volume - volume_save, 0.0)
+    runoff_out = runoff_out + excess_save
+    volume = volume - excess_save
+    excess_max = jnp.maximum(volume - lp.maxvolume, 0.0)
+    runoff_out = runoff_out + excess_max
+    volume = volume - excess_max
+    volume = jnp.where(volume < c.SMALL, 0.0, volume)
 
-    # inactive lanes: passthrough
-    keep = ~active
+    # final extent
+    liquid5 = jnp.maximum(volume - s1.ice_water_eq, 0.0)
+    ldepth5 = depth_from_volume(lp, liquid5)
+    area5 = area_from_depth(lp, ldepth5)
+    sarea_end = jnp.maximum(area5, res.new_ice_area)
+
+    # ---- closure telemetry (new; reference folds the lake into
+    # calc_water_balance_error, calc_water_energy_balance_errors.c:7) -------
+    store_end_m3 = volume + pack_m3(s1, sarea)
+    water_error_m3 = (store_end_m3 - store_start_m3) - (
+        res.precip_in_m3 + inflow - evap_m3 - res.vapor_flux_m3
+        - recharge_m3 - baseflow_out - runoff_out)
+    water_error_mm = jnp.where(
+        live, water_error_m3 / jnp.maximum(sarea, 1.0) * 1000.0, 0.0)
+
+    keep = ~live
     K = lambda new, old: jnp.where(keep, old, new)
     new_state = LakeState(
-        volume=K(volume, st.volume), temp=jnp.where(keep[..., None],
-                                                    st.temp, t_new),
-        ice_water_eq=K(ice_water_eq, st.ice_water_eq),
-        ice_area=K(ice_area, st.ice_area),
-        ice_height=K(ice_height, st.ice_height), swe=K(swe_new, st.swe))
+        volume=K(volume, st.volume),
+        temp=jnp.where(keep[..., None], st.temp, s1.temp),
+        ice_water_eq=K(s1.ice_water_eq, st.ice_water_eq),
+        ice_area=K(res.new_ice_area, st.ice_area),  # full_energy.c:229
+        ice_height=K(s1.ice_height, st.ice_height),
+        swe=K(s1.swe, st.swe), tempi=K(s1.tempi, st.tempi),
+        surf_temp=K(s1.surf_temp, st.surf_temp),
+        pack_temp=K(s1.pack_temp, st.pack_temp),
+        surf_water=K(s1.surf_water, st.surf_water),
+        pack_water=K(s1.pack_water, st.pack_water),
+        salbedo=K(s1.salbedo, st.salbedo),
+        last_snow=K(s1.last_snow, st.last_snow),
+        melting=jnp.where(keep, st.melting, s1.melting))
+    Zm = lambda x: jnp.where(keep, 0.0, x)
     return LakeStepResult(
-        state=new_state,
-        recharge_m3=jnp.where(keep, 0.0, recharge_m3),
+        state=new_state, evap_m3=Zm(evap_m3), runoff_out_m3=Zm(runoff_out),
+        baseflow_out_m3=Zm(baseflow_out), depth=Zm(ldepth5),
+        sarea=Zm(sarea_end),
+        ice_fract=Zm(jnp.clip(res.new_ice_area
+                              / jnp.maximum(sarea_end, 1.0), 0.0, 1.0)),
+        surf_temp=Zm(res.tsurf), recharge_m3=Zm(recharge_m3),
         wetland_dmoist_mm=(None if dmoist is None else
                            jnp.where(keep[..., None], 0.0, dmoist)),
-        evap_m3=jnp.where(keep, 0.0, evap_m3),
-        runoff_out_m3=jnp.where(keep, 0.0, runoff_out),
-        baseflow_out_m3=jnp.where(keep, 0.0, baseflow_out),
-        depth=depth_from_volume(lp, jnp.maximum(new_state.volume
-                                                - new_state.ice_water_eq,
-                                                0.0)),
-        sarea=sarea, ice_fract=jnp.where(keep, 0.0, ice_fract),
-        surf_temp=jnp.where(keep, st.temp[..., 0], t_new[..., 0]))
+        snowmelt_m3=Zm(res.snowmelt_m3),
+        vapor_flux_m3=Zm(res.vapor_flux_m3),
+        precip_in_m3=Zm(res.precip_in_m3),
+        water_error_mm=water_error_mm,
+        energy_error=Zm(res.energy_error), albedo_lake=Zm(res.albedo_lake),
+        net_short=Zm(res.net_short), net_long=Zm(res.net_long),
+        sensible=Zm(res.sensible), latent=Zm(res.latent),
+        delta_h=Zm(res.delta_h), grnd_flux=Zm(res.grnd_flux),
+        refreeze_energy=Zm(res.refreeze_energy),
+        advection=Zm(res.advection),
+        ice_fbflag=jnp.where(keep, False, res.ice_fbflag))
 
 
 def initial_lake_state(lp: LakeParams, avg_temp) -> LakeState:
+    """Cold-start lake state (initialize_lake.c:7-180)."""
     depth0 = jnp.asarray(lp.depth_in)
     vol0 = volume_from_depth(lp, depth0)
     n_cell = depth0.shape[0]
@@ -444,4 +1700,6 @@ def initial_lake_state(lp: LakeParams, avg_temp) -> LakeState:
         (1, MAX_LAKE_NODES))
     Z = jnp.zeros(n_cell)
     return LakeState(volume=vol0, temp=temp0, ice_water_eq=Z, ice_area=Z,
-                     ice_height=Z, swe=Z)
+                     ice_height=Z, swe=Z, tempi=Z, surf_temp=Z, pack_temp=Z,
+                     surf_water=Z, pack_water=Z, salbedo=Z, last_snow=Z,
+                     melting=jnp.zeros(n_cell, bool))

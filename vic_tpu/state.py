@@ -82,13 +82,21 @@ class ModelState:
     # CONTINUEONERROR cell validity (vicNl.c:521,545-558): cells whose
     # solution goes non-finite are frozen and skipped for the rest of the run
     cell_valid: jnp.ndarray         # [c] bool
-    # lake (lake_var_struct), per cell
+    # lake (lake_var_struct + its snow_data_struct), per cell
     lake_volume: jnp.ndarray        # [c] m^3
     lake_temp: jnp.ndarray          # [c, MAX_LAKE_NODES] C
     lake_ice_we: jnp.ndarray        # [c] m^3 water equivalent
-    lake_ice_area: jnp.ndarray      # [c] m^2
-    lake_ice_height: jnp.ndarray    # [c] m
-    lake_swe: jnp.ndarray           # [c] m
+    lake_ice_area: jnp.ndarray      # [c] m^2 (areai)
+    lake_ice_height: jnp.ndarray    # [c] m (hice)
+    lake_swe: jnp.ndarray           # [c] m over lake area (snow.swq)
+    lake_tempi: jnp.ndarray         # [c] C ice/snow surface temperature
+    lake_snow_surf_temp: jnp.ndarray   # [c] C
+    lake_snow_pack_temp: jnp.ndarray   # [c] C
+    lake_snow_surf_water: jnp.ndarray  # [c] m over lake area
+    lake_snow_pack_water: jnp.ndarray  # [c] m over lake area
+    lake_salbedo: jnp.ndarray       # [c] snow albedo state
+    lake_last_snow: jnp.ndarray     # [c] float steps since snowfall
+    lake_melting: jnp.ndarray       # [c] bool
 
 
 def initial_state(domain, gp, surf_temp_init=None, dtype=jnp.float32,
@@ -145,13 +153,23 @@ def initial_state(domain, gp, surf_temp_init=None, dtype=jnp.float32,
         ls = initial_lake_state(lake_params, domain.soil.avg_temp)
         lake = dict(lake_volume=ls.volume, lake_temp=ls.temp,
                     lake_ice_we=ls.ice_water_eq, lake_ice_area=ls.ice_area,
-                    lake_ice_height=ls.ice_height, lake_swe=ls.swe)
+                    lake_ice_height=ls.ice_height, lake_swe=ls.swe,
+                    lake_tempi=ls.tempi, lake_snow_surf_temp=ls.surf_temp,
+                    lake_snow_pack_temp=ls.pack_temp,
+                    lake_snow_surf_water=ls.surf_water,
+                    lake_snow_pack_water=ls.pack_water,
+                    lake_salbedo=ls.salbedo, lake_last_snow=ls.last_snow,
+                    lake_melting=ls.melting)
     else:
         zc = jnp.zeros((n_cell,), dtype)
         lake = dict(lake_volume=zc,
                     lake_temp=jnp.zeros((n_cell, MAX_LAKE_NODES), dtype),
                     lake_ice_we=zc, lake_ice_area=zc, lake_ice_height=zc,
-                    lake_swe=zc)
+                    lake_swe=zc, lake_tempi=zc, lake_snow_surf_temp=zc,
+                    lake_snow_pack_temp=zc, lake_snow_surf_water=zc,
+                    lake_snow_pack_water=zc, lake_salbedo=zc,
+                    lake_last_snow=zc,
+                    lake_melting=jnp.zeros((n_cell,), bool))
 
     return ModelState(
         moist=moist, ice=Z(nl), moist_dry=moist, ice_dry=Z(nl),

@@ -70,7 +70,9 @@ def synthetic_soil(n_cell: int, n_layer: int = 3, seed: int = 0) -> SoilParams:
         bubble=U(4.0, 30.0, n_layer), quartz=U(0.2, 0.7, n_layer),
         organic=np.zeros((n_cell, n_layer)),
         bulk_density=bulk_density, soil_density=soil_density,
-        off_gmt=g(-8.0), rough=g(0.001), snow_rough=g(0.0005),
+        # time_zone_lng in DEGREES (read_soilparam.c): -120 = UTC-8, so the
+        # local-solar-time offset vs lng~-116 rounds to 0 hours
+        off_gmt=g(-120.0), rough=g(0.001), snow_rough=g(0.0005),
         annual_prec=U(300.0, 2000.0), resid_moist=resid,
         fs_active=np.ones(n_cell, bool),
         avg_july_air_temp=U(10.0, 18.0),
