@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 NL = 3
 FORCE_TYPES = ["PREC", "AIR_TEMP", "WIND", "SHORTWAVE", "LONGWAVE",
                "PRESSURE", "VP"]
+MTCLIM_TYPES = ["TMAX", "TMIN", "PREC", "WIND"]
 
 
 DT_HOURS = 3
@@ -66,16 +67,35 @@ def synth_forcing(n_rec, n_cell, seed=0):
                 LONGWAVE=lw, PRESSURE=pressure, VP=vp)
 
 
-def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0):
+def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
+                 config="base"):
+    """config selects the parity scenario (VERDICT round-1 item 3):
+    base          FULL_ENERGY + QUICK_FLUX, supplied 3-hourly forcing
+    frozen        FROZEN_SOIL + IMPLICIT finite-difference nodes
+    bands         3 snow bands + a glacier HRU (surface_fluxes_glac path)
+    dist          DIST_PRCP wet/dry columns
+    mtclim        daily TMAX/TMIN/PREC -> MTCLIM + disaggregation on BOTH
+                  sides, with non-zero longitudes and time_zone_lng=-120
+                  (exercises the local-solar-time shift,
+                  initialize_atmos.c:125-225)
+    """
     n_rec = n_days * STEPS_PER_DAY
     os.makedirs(workdir, exist_ok=True)
     os.makedirs(os.path.join(workdir, "forcing"), exist_ok=True)
     os.makedirs(os.path.join(workdir, "results"), exist_ok=True)
 
     lats = 48.0 + 0.25 * np.arange(n_cell)
-    # lng 0 with off_gmt 0 => hour_offset 0 (initialize_atmos.c:125): no
-    # local-solar-time shift of the forcing on either side
-    lons = np.full(n_cell, 0.0)
+    if config == "mtclim":
+        # non-zero longitudes spanning +-4 h of local-solar offset around
+        # the -120 deg time-zone center (removes the historical lng=0 dodge)
+        lons = -120.0 + 60.0 * ((np.arange(n_cell) % 5) - 2) / 2.0
+        tz_lng = -120.0
+    else:
+        # lng 0 with off_gmt 0 => hour_offset 0 (initialize_atmos.c:125)
+        lons = np.full(n_cell, 0.0)
+        tz_lng = 0.0
+    avg_temp = 2.0 if config in ("frozen", "bands") else 8.0
+    fs_active = 1 if config == "frozen" else 0
 
     # ---- soil file (read_soilparam.c column order, glacier format) ----
     glacier_defaults = [0.85, 0.94, 0.58, 0.82, 0.46,   # albedo decay
@@ -92,17 +112,17 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0):
             row += [40.0, 120.0, 280.0]             # init_moist
             row += [500.0 + 10.0 * ci]              # elevation
             row += [0.1, 0.3, 1.0]                  # depth
-            row += [8.0, 4.0]                       # avg_temp, dp
+            row += [avg_temp, 4.0]                  # avg_temp, dp
             row += [30.0] * NL                      # bubble
             row += [0.4] * NL                       # quartz
             row += [1400.0] * NL                    # bulk density (mineral)
             row += [2650.0] * NL                    # soil density
-            row += [0.0]                            # off_gmt
+            row += [tz_lng]                         # time_zone_lng (deg)
             row += [0.6] * NL                       # Wcr fract
             row += [0.3] * NL                       # Wpwp fract
             row += [0.01, 0.0012, 800.0]            # rough snow_rough annprec
             row += [0.05] * NL                      # resid moist (fract)
-            row += [0]                              # FS_ACTIVE
+            row += [fs_active]                      # FS_ACTIVE
             row += [15.0]                           # avgJulyAirTemp
             row += glacier_defaults
             f.write(" ".join(f"{v:g}" for v in row) + "\n")
@@ -116,29 +136,72 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0):
             + [0.2] * 12 + [0.05] * 12 + [0.3] * 12 \
             + [10.0, 100.0, 0.5, 0.5, 0.2]
         f.write(" ".join(str(v) for v in row) + "\n")
+        if config == "bands":
+            # glacier class (vegClass == GLACIER_ID=2): bare-ice params
+            row = [2, 0, 2.0, 0.0] + ["0.000"] * 12 \
+                + [0.3] * 12 + [0.002] * 12 + [0.0] * 12 \
+                + [10.0, 100.0, 0.5, 0.5, 0.0]
+            f.write(" ".join(str(v) for v in row) + "\n")
 
     # ---- veg param: one grass tile per cell, Cv=0.7, 2 root zones ----
     with open(os.path.join(workdir, "vegparam.txt"), "w") as f:
         for ci in range(n_cell):
-            f.write(f"{ci + 1} 1\n")
-            # PCIC tile line: class Cv (depth fract)*RZ bandIndex
-            # (read_vegparam.c:185-186)
-            f.write("1 0.70 0.30 0.60 0.70 0.40 0\n")
+            if config == "bands":
+                # fully-specified PCIC mosaic: explicit bandIndex per tile
+                # (read_vegparam.c:186), grass in every band + a glacier HRU
+                # in the top band; Cv sums to 1 (no artificial bare soil)
+                f.write(f"{ci + 1} 4\n")
+                f.write("1 0.30 0.30 0.60 0.70 0.40 0\n")
+                f.write("1 0.25 0.30 0.60 0.70 0.40 1\n")
+                f.write("1 0.20 0.30 0.60 0.70 0.40 2\n")
+                f.write("2 0.25 0.50 0.50 0.50 0.50 2\n")
+            else:
+                f.write(f"{ci + 1} 1\n")
+                # PCIC tile line: class Cv (depth fract)*RZ bandIndex
+                # (read_vegparam.c:185-186)
+                f.write("1 0.70 0.30 0.60 0.70 0.40 0\n")
+
+    # ---- snow band file (read_snowband.c): 3 bands for "bands" ----
+    if config == "bands":
+        with open(os.path.join(workdir, "snowband.txt"), "w") as f:
+            for ci in range(n_cell):
+                elev = 500.0 + 10.0 * ci
+                # cell areafract*3 elev*3 (read_snowband.c fscanf stream:
+                # no trailing columns — extra numbers would bleed into the
+                # next cell's id)
+                f.write(f"{ci + 1} 0.45 0.35 0.20 "
+                        f"{elev - 200:.1f} {elev + 100:.1f} "
+                        f"{elev + 500:.1f}\n")
 
     # ---- forcing files ----
     forc = synth_forcing(n_rec, n_cell, seed)
-    for ci in range(n_cell):
-        path = os.path.join(workdir, "forcing",
-                            f"full_data_{lats[ci]:.4f}_{lons[ci]:.4f}")
-        cols = np.stack([forc[k][:, ci] for k in FORCE_TYPES], 1)
-        np.savetxt(path, cols, fmt="%.4f")
+    if config == "mtclim":
+        # daily TMAX/TMIN/PREC/WIND -> both sides run MTCLIM + disagg
+        air = forc["AIR_TEMP"].reshape(n_days, STEPS_PER_DAY, n_cell)
+        daily = dict(
+            TMAX=air.max(1), TMIN=air.min(1),
+            PREC=forc["PREC"].reshape(n_days, STEPS_PER_DAY, n_cell).sum(1),
+            WIND=forc["WIND"].reshape(n_days, STEPS_PER_DAY, n_cell).mean(1))
+        for ci in range(n_cell):
+            path = os.path.join(workdir, "forcing",
+                                f"full_data_{lats[ci]:.4f}_{lons[ci]:.4f}")
+            cols = np.stack([daily[k][:, ci] for k in MTCLIM_TYPES], 1)
+            np.savetxt(path, cols, fmt="%.4f")
+        forc = daily
+    else:
+        for ci in range(n_cell):
+            path = os.path.join(workdir, "forcing",
+                                f"full_data_{lats[ci]:.4f}_{lons[ci]:.4f}")
+            cols = np.stack([forc[k][:, ci] for k in FORCE_TYPES], 1)
+            np.savetxt(path, cols, fmt="%.4f")
 
     # ---- global parameter file ----
     y0, m0, d0 = start
     end = _add_days(y0, m0, d0, n_days - 1)
+    frozen = config == "frozen"
     g = f"""
 NLAYER 3
-NODES 3
+NODES {5 if frozen else 3}
 TIME_STEP 3
 SNOW_STEP 3
 STARTYEAR {y0}
@@ -149,9 +212,10 @@ ENDYEAR {end[0]}
 ENDMONTH {end[1]:02d}
 ENDDAY {end[2]:02d}
 FULL_ENERGY TRUE
-FROZEN_SOIL FALSE
-QUICK_FLUX TRUE
-DIST_PRCP FALSE
+FROZEN_SOIL {"TRUE" if frozen else "FALSE"}
+QUICK_FLUX {"FALSE" if frozen else "TRUE"}
+IMPLICIT {"TRUE" if frozen else "FALSE"}
+DIST_PRCP {"TRUE" if config == "dist" else "FALSE"}
 CORRPREC FALSE
 MIN_WIND_SPEED 0.1
 MAX_SNOW_TEMP 0.5
@@ -169,15 +233,10 @@ SNOW_ALBEDO USACE
 SNOW_DENSITY DENS_BRAS
 FORCING1 {workdir}/forcing/full_data_
 FORCE_FORMAT ASCII
-FORCE_DT 3
-N_TYPES 7
-FORCE_TYPE PREC
-FORCE_TYPE AIR_TEMP
-FORCE_TYPE WIND
-FORCE_TYPE SHORTWAVE
-FORCE_TYPE LONGWAVE
-FORCE_TYPE PRESSURE
-FORCE_TYPE VP
+FORCE_DT {24 if config == "mtclim" else 3}
+N_TYPES {len(MTCLIM_TYPES) if config == "mtclim" else 7}
+""" + "".join(f"FORCE_TYPE {t}\n" for t in
+              (MTCLIM_TYPES if config == "mtclim" else FORCE_TYPES)) + f"""
 FORCEYEAR {y0}
 FORCEMONTH {m0:02d}
 FORCEDAY {d0:02d}
@@ -190,13 +249,13 @@ VEGPARAM {workdir}/vegparam.txt
 VEGPARAM_LAI FALSE
 VEGLIB {workdir}/veglib.txt
 ROOT_ZONES 2
-SNOW_BAND 1
+SNOW_BAND {3 if config == "bands" else 1}{f" {workdir}/snowband.txt" if config == "bands" else ""}
+GLACIER_ID {2 if config == "bands" else -1}
 RESULT_DIR {workdir}/results
 OUT_STEP 0
 SKIPYEAR 0
 COMPRESS FALSE
 OUTPUT_FORMAT ASCII
-GLACIER_ID -1
 PARALLEL_THREADS 1
 """
 # NOTE: the reference's N_OUTFILES custom-output path is unusable here:
@@ -319,11 +378,15 @@ def main():
     ap.add_argument("--workdir", default="/tmp/oracle")
     ap.add_argument("--platform", default="cpu",
                     help="jax platform for the vic-tpu run (cpu|axon)")
+    ap.add_argument("--config", default="base",
+                    choices=["base", "frozen", "bands", "dist", "mtclim"])
     ap.add_argument("--skip-parity", action="store_true")
     args = ap.parse_args()
 
-    print(f"generating inputs: {args.cells} cells x {args.days} days")
-    _, lats, lons = write_inputs(args.workdir, args.cells, args.days)
+    print(f"generating inputs: {args.cells} cells x {args.days} days "
+          f"[{args.config}]")
+    _, lats, lons = write_inputs(args.workdir, args.cells, args.days,
+                                 config=args.config)
 
     cs = args.cells * args.days * STEPS_PER_DAY
     for threads in sorted({1, args.threads}):

@@ -109,6 +109,8 @@ class VegTile:
     lag_one: float = 0.0
     fetch: float = 2500.0
     lai: list = None  # 12 monthly values if VEGPARAM_LAI
+    band_index: int = -1  # PCIC explicit band (read_vegparam.c:186); -1 =
+    #                       classic 4.1.2 replication across all bands
 
 
 def read_vegparam_cell_tiles(path: str, gp):
@@ -133,6 +135,9 @@ def read_vegparam_cell_tiles(path: str, gp):
             if gp.blowing:
                 tile.sigma_slope, tile.lag_one, tile.fetch = toks[k:k + 3]
                 k += 3
+            if len(toks) > k:
+                # trailing PCIC bandIndex column (read_vegparam.c:186-187)
+                tile.band_index = int(toks[k])
             if gp.vegparam_lai:
                 tile.lai = [float(t) for t in lines[i]]
                 i += 1
@@ -166,8 +171,14 @@ def build_hru_params(cell_tiles: dict, cell_order, veglib: VegLib, gp,
         for t in tiles:
             root = compute_root_fractions(t.zone_depth, t.zone_fract,
                                           layer_depth[ci])
-            for b in range(n_band):
-                hrus.append((t, b, root, False, bare_cv))
+            if t.band_index >= 0 and n_band > 1:
+                # PCIC: one HRU at the tile's declared band
+                # (read_vegparam.c:186-187, e.bandIndex = curBandIndex)
+                hrus.append((t, t.band_index, root, False, bare_cv))
+            else:
+                # classic 4.1.2: tile replicated across the snow bands
+                for b in range(n_band):
+                    hrus.append((t, b, root, False, bare_cv))
         if bare_cv > 1e-10:
             for b in range(n_band):
                 hrus.append((None, b, np.ones(nl) / nl, True, bare_cv))
