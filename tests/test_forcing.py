@@ -169,6 +169,29 @@ def test_forcing_stats():
     assert s["prec"]["max"] == 4.0
 
 
+def test_off_gmt_hours_to_degrees(tmp_path):
+    """The soil file stores off_gmt in HOURS; the reader must convert to
+    time_zone_lng in degrees (read_soilparam.c:564,1121). A realistic file
+    (off_gmt=-8 h, lng=-120) must give hour_offset = 0, not an 8-h shift."""
+    from vic_tpu.config import GlobalParams
+    from vic_tpu.io.soil import read_soil_file
+    cols = [1, 1, 51.0, -120.0, 0.2, 0.05, 15.0, 0.9, 2.0]
+    cols += [10.0] * 3 + [500.0] * 3 + [-999] * 3 + [150.0] * 3
+    cols += [1000.0, 0.1, 0.5, 1.0, 2.0, 4.0]
+    cols += [20.0] * 3 + [0.5] * 3 + [1400.0] * 3 + [2685.0] * 3
+    cols += [-8.0]                                   # off_gmt in HOURS
+    cols += [0.42] * 3 + [0.25] * 3 + [0.01, 0.0005, 800.0]
+    cols += [0.02] * 3 + [1]
+    (tmp_path / "soil.txt").write_text(
+        " ".join(str(c) for c in cols) + "\n")
+    gp = GlobalParams(nlayer=3)
+    soil = read_soil_file(str(tmp_path / "soil.txt"), gp,
+                          glacier_format=False)
+    np.testing.assert_allclose(soil.off_gmt, [-120.0])   # degrees
+    hour_offset = np.rint((soil.off_gmt - soil.lng) * 24.0 / 360.0)
+    assert hour_offset[0] == 0
+
+
 class TestLocalSolarTimeShift:
     """hour_offset = (time_zone_lng - lng)*24/360 (initialize_atmos.c:125):
     the disaggregated diurnal cycle is generated in local solar time and

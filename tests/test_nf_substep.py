@@ -25,7 +25,7 @@ def _write_params(tmp_path, n_cell=2):
         cols += [10.0, 10.0, 12.0, 500.0, 400.0, 300.0, -999, -999, -999,
                  150.0, 250.0, 300.0, 1500.0 + 200 * i, 0.1, 0.5, 1.0,
                  2.0, 4.0, 20.0, 20.0, 20.0, 0.5, 0.5, 0.5,
-                 1400.0, 1400.0, 1400.0, 2685.0, 2685.0, 2685.0, 0.0,
+                 1400.0, 1400.0, 1400.0, 2685.0, 2685.0, 2685.0, -8.0,
                  0.42, 0.42, 0.42, 0.25, 0.25, 0.25,
                  0.01, 0.0005, 800.0, 0.02, 0.02, 0.02, 1]
         soil_lines.append(" ".join(str(c) for c in cols))

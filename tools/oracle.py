@@ -89,11 +89,12 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
         # non-zero longitudes spanning +-4 h of local-solar offset around
         # the -120 deg time-zone center (removes the historical lng=0 dodge)
         lons = -120.0 + 60.0 * ((np.arange(n_cell) % 5) - 2) / 2.0
-        tz_lng = -120.0
+        off_gmt_h = -8.0   # HOURS in the soil file (read_soilparam.c:564,
+        #                    1121: time_zone_lng = off_gmt*360/24 = -120 deg)
     else:
-        # lng 0 with off_gmt 0 => hour_offset 0 (initialize_atmos.c:125)
+        # lng 0 with off_gmt 0 h => hour_offset 0 (initialize_atmos.c:125)
         lons = np.full(n_cell, 0.0)
-        tz_lng = 0.0
+        off_gmt_h = 0.0
     avg_temp = 2.0 if config in ("frozen", "bands") else 8.0
     fs_active = 1 if config == "frozen" else 0
 
@@ -117,7 +118,7 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
             row += [0.4] * NL                       # quartz
             row += [1400.0] * NL                    # bulk density (mineral)
             row += [2650.0] * NL                    # soil density
-            row += [tz_lng]                         # time_zone_lng (deg)
+            row += [off_gmt_h]                      # off_gmt (HOURS)
             row += [0.6] * NL                       # Wcr fract
             row += [0.3] * NL                       # Wpwp fract
             row += [0.01, 0.0012, 800.0]            # rough snow_rough annprec

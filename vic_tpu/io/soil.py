@@ -131,7 +131,10 @@ def read_soil_file(path: str, gp, glacier_format: bool = True,
         out["soil_density"].append(
             [(1 - o) * sm + o * so
              for o, sm, so in zip(organic, soil_dens_min, soil_dens_org)])
-        out["off_gmt"].append(nxt())
+        # soil file stores off_gmt in HOURS; convert to time_zone_lng in
+        # degrees of longitude at read time (read_soilparam.c:564,1121:
+        # time_zone_lng = off_gmt * 360./24.)
+        out["off_gmt"].append(nxt() * 360.0 / 24.0)
         out["wcr_fract"].append([nxt() for _ in range(nl)])
         out["wpwp_fract"].append([nxt() for _ in range(nl)])
         out["rough"].append(nxt())
