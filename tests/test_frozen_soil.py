@@ -76,7 +76,7 @@ def test_explicit_profile_relaxes_toward_boundary():
         res = solve_t_profile_explicit(
             T, surf, nodep["kappa"], nodep["cs"], nodep["moist"],
             nodep["ice"], geom, params, 86400.0, noflux=False,
-            exp_trans=False, frozen=True)
+            exp_trans=False, frozen=True, ice_quirk=False)
         T = res.temp
         assert bool(jnp.isfinite(T).all())
         m = float(T.mean())
@@ -111,7 +111,7 @@ def test_per_node_fallback_counts():
     res = solve_t_profile_explicit(
         t0, surf, nodep["kappa"], nodep["cs"], nodep["moist"],
         nodep["ice"], geom, params, 86400.0, noflux=False,
-        exp_trans=False, frozen=True)
+        exp_trans=False, frozen=True, ice_quirk=False)
     fb = np.asarray(res.fbcount)
     assert fb.shape == sh, "fbcount must be per-node"
     per_node = fb.sum(axis=(0, 1))
@@ -172,7 +172,7 @@ class TestImplicitSolver:
         exp = solve_t_profile_explicit(
             t0, surf, nodep["kappa"], nodep["cs"], nodep["moist"],
             nodep["ice"], geom, params, 86400.0, noflux=False,
-            exp_trans=False, frozen=True)
+            exp_trans=False, frozen=True, ice_quirk=False)
         assert bool(jnp.isfinite(imp.temp).all())
         # both schemes integrate the same equation: agree within tolerance
         d = np.abs(np.asarray(imp.temp) - np.asarray(exp.temp))
@@ -243,3 +243,64 @@ def test_find_zero_fronts_order_and_cap():
     # thaw crossings at 0.5, 2.5, 4.5, 6.5 -> bottom-up keeps 6.5, 4.5, 2.5
     assert [round(float(x), 3) for x in tdepth[0]] == [6.5, 4.5, 2.5]
     assert [round(float(x), 3) for x in fdepth[0]] == [7.5, 5.5, 3.5]
+
+
+class TestReferenceIceQuirk:
+    """frozen_soil.c:114-115 passes the per-LAYER max_moist/bubble/expt
+    (mm units) into the node solve indexed BY NODE; the in-iteration ice
+    content is therefore ~0 for shallow nodes and the E*(0-ice0) offset
+    makes the root unbracketable whenever the node carries ice ->
+    TFALLBACK pins sub-freezing shallow nodes in time (the dominant
+    reference FROZEN_SOIL behaviour; see solve_t_profile_explicit)."""
+
+    def _setup(self):
+        gp = GlobalParams(nlayer=3, nnode=5, quick_flux=False,
+                          frozen_soil=True)
+        dom = synthetic_domain(n_cell=2)
+        geom = build_node_geometry(dom.soil, gp)
+        params = prepare_domain(dom, gp)
+        sh = (2, 3, 5)
+        t0 = jnp.full(sh, -2.0)
+        # near-saturated column: the pin engages when rho_i*Lf*ice0 exceeds
+        # the (A+C+D)*50.25 reach of root_brent's widest bracket — i.e. for
+        # wet, strongly-frozen soils (ice0 >~ 0.33 here)
+        moist = jnp.tile(
+            jnp.asarray(dom.soil.max_moist, jnp.float32)[:, None, :],
+            (1, 3, 1))
+        nodep = distribute_node_moisture(moist, t0, geom, params, frozen=True)
+        return gp, geom, params, t0, nodep
+
+    def test_solver_arrays_alias_layers_then_nodes(self):
+        gp, geom, params, _, _ = self._setup()
+        # nodes 0..2: layer values in mm (hundreds); nodes >=3: node j-3's
+        # volumetric values
+        assert geom.solver_max_moist[0, 1] > 50.0
+        np.testing.assert_allclose(geom.solver_max_moist[:, 3],
+                                   geom.max_moist_node[:, 0])
+        np.testing.assert_allclose(geom.solver_bubble[:, 4],
+                                   geom.bubble_node[:, 1])
+
+    def test_icy_subfreezing_nodes_pin(self):
+        gp, geom, params, t0, nodep = self._setup()
+        assert float(nodep["ice"].max()) > 0.0   # column carries ice
+        surf = jnp.full((2, 3), 5.0)             # warm boundary
+        res = solve_t_profile_explicit(
+            t0, surf, nodep["kappa"], nodep["cs"], nodep["moist"],
+            nodep["ice"], geom, params, 3600.0, noflux=False,
+            exp_trans=False, frozen=True, ice_quirk=True)
+        # node 2 (alpha=1.4m -> E*ice0 beyond the widest +-50.25 bracket):
+        # pinned at its old temperature with fallback counted
+        np.testing.assert_allclose(np.asarray(res.temp[..., 2]), -2.0)
+        assert int(np.asarray(res.fbcount)[..., 2].min()) >= 1
+        # node 1 brackets at +-40.25, cold-jumps to ~-32, and the post-sweep
+        # runaway-cold-nose hack (frozen_soil.c:470-484) averages it to
+        # 0.5*(T[0]+T[2]) = 1.5 — the full reference quirk chain
+        np.testing.assert_allclose(np.asarray(res.temp[..., 1]), 1.5,
+                                   atol=1e-5)
+        assert int(np.asarray(res.fbcount)[..., 1].min()) >= 1
+        # quirk-free solver DOES move the same nodes
+        free = solve_t_profile_explicit(
+            t0, surf, nodep["kappa"], nodep["cs"], nodep["moist"],
+            nodep["ice"], geom, params, 10800.0, noflux=False,
+            exp_trans=False, frozen=True, ice_quirk=False)
+        assert float(jnp.abs(free.temp[..., 1] + 2.0).max()) > 1e-3

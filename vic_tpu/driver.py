@@ -119,7 +119,9 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
 
     params = prepare_domain(domain, gp, above_treeline=above_treeline)
     geom = None
-    if gp.frozen_soil:
+    if gp.frozen_soil or not gp.quick_flux:
+        # the node profile drives the ground-heat method whenever QUICK_FLUX
+        # is FALSE, frozen or not (func_surf_energy_bal.c:167-242)
         from .physics.frozen_soil import build_node_geometry
         geom = build_node_geometry(domain.soil, gp)
     from .physics.hydrology_misc import build_zwt_curves

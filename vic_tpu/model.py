@@ -62,7 +62,10 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
     nl = gp.nlayer
     if frozen and geom is None:
         raise ValueError("frozen_soil requires a NodeGeometry (geom=)")
-    fd_nodes = frozen and not gp.quick_flux  # finite-difference node profile
+    # QUICK_FLUX alone selects the ground-heat method (func_surf_energy_bal.c
+    # :167-242, "2011-Aug-09 … depends only on QUICK_FLUX setting"); FROZEN_SOIL
+    # gates only the ice/fusion physics on top of it
+    fd_nodes = (not gp.quick_flux) and geom is not None
 
     def step(state: ModelState, forcing):
         p = params
@@ -265,11 +268,66 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             B(p.soil_dens_min)[..., :2], B(p.bulk_dens_min)[..., :2],
             B(p.quartz)[..., :2], B(p.soil_density)[..., :2],
             B(p.bulk_density)[..., :2], B(p.organic)[..., :2])
-        d1 = B(p.depth)[..., 0]
-        d2 = B(p.dp) - d1
+        # D1/D2 are NODE spacings (calc_surf_energy_bal.c:242-243:
+        # Zsum_node[1]-Zsum_node[0], Zsum_node[2]-Zsum_node[1]); on the
+        # QUICK_FLUX 3-node geometry these equal depth[0] and dp-depth[0]
+        if geom is not None:
+            zs = jnp.asarray(geom.zsum)
+            d1 = (zs[:, 1] - zs[:, 0])[:, None]
+            d2 = (zs[:, 2] - zs[:, 1])[:, None]
+        else:
+            d1 = B(p.depth)[..., 0]
+            d2 = B(p.dp) - d1
         moist0_vol = moist_avg[..., 0] / (B(p.depth)[..., 0] * 1000.0)
-        ice0_vol = ice_avg[..., 0] / (B(p.depth)[..., 0] * 1000.0)
         max_moist0_vol = B(p.max_moist)[..., 0] / (B(p.depth)[..., 0] * 1000.0)
+        # top-layer ice0 for the fusion term: recomputed FRESH each step
+        # from the carried node temperatures, NOT the carried layer-ice
+        # state (prepare_full_energy.c:64-76: ice0 = moist0 -
+        # maximum_unfrozen_water((T[0]+T[1])/2, ...))
+        if frozen:
+            from .physics.soil_thermal import maximum_unfrozen_water
+            tavg01 = 0.5 * (state.node_temp[..., 0] + state.node_temp[..., 1])
+            ice0_vol = jnp.where(
+                jnp.logical_and(B(p.fs_active), tavg01 < 0.0),
+                jnp.maximum(
+                    moist0_vol - maximum_unfrozen_water(
+                        tavg01, max_moist0_vol, B(p.bubble)[..., 0],
+                        B(p.expt)[..., 0]), 0.0),
+                0.0)
+        else:
+            ice0_vol = jnp.zeros_like(moist0_vol)
+
+        # ---- FD node-profile solver for the surface-EB residual ------------
+        # (QUICK_FLUX FALSE): node moisture/ice/kappa/Cs are fixed over the
+        # step at the carried temperatures (distribute_node_moisture_
+        # properties runs at the END of the previous step, runoff.c:763);
+        # the profile is re-solved with each candidate Ts as the node-0 BC
+        # inside every Brent residual evaluation (func_surf_energy_bal.c:
+        # 190-228)
+        if fd_nodes:
+            from .physics.frozen_soil import (
+                distribute_node_moisture, solve_t_profile_explicit)
+            nodep = distribute_node_moisture(moist_avg, state.node_temp, geom,
+                                             p, frozen=frozen)
+
+            def fd_solve(ts_candidate):
+                # IMPLICIT note: the reference's NR (fda_heat_eqn,
+                # frozen_soil.c:589) shares the layer-units ice bug
+                # documented on solve_t_profile_explicit, so it fails TOLF
+                # whenever any node carries ice and ~always falls back to
+                # the explicit sweep (func_surf_energy_bal.c:213-222);
+                # ice-free columns solve the same backward-Euler system
+                # either way.  The quirk-faithful path therefore always
+                # runs the explicit sweep.
+                return solve_t_profile_explicit(
+                    t0=state.node_temp, surf_temp=ts_candidate,
+                    kappa=nodep["kappa"], cs=nodep["cs"],
+                    moist_node=nodep["moist"], ice0_node=nodep["ice"],
+                    geom=geom, params=p, dt_sec=dt_sec, noflux=gp.noflux,
+                    exp_trans=gp.exp_trans, frozen=frozen,
+                    max_sweeps=gp.soil_sweep_maxiter, ice_quirk=True)
+        else:
+            fd_solve = None
 
         eb_common = dict(
             ts_old=state.node_temp[..., 0], t1_old=state.node_temp[..., 1],
@@ -295,7 +353,8 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             wcr=B(p.wcr), wpwp=B(p.wpwp), depth_l=B(p.depth),
             resid_moist0=B(p.resid_moist)[..., 0], b_infilt=B(p.b_infilt),
             max_moist_l=B(p.max_moist), surf_atten=surf_att_eff,
-            grnd_flux_type=int(gp.grnd_flux_type), frozen_soil=frozen)
+            grnd_flux_type=int(gp.grnd_flux_type), frozen_soil=frozen,
+            fd_solve=fd_solve)
 
         def column(tca):
             """One pass of the overstory->understory chain at canopy-air
@@ -647,29 +706,6 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
         long_bare_in = r["long_bare_in"]; ts = r["ts"]; fb = r["fb"]
         eb = r["eb"]
 
-        # ---- finite-difference node profile (FROZEN_SOIL, QUICK_FLUX=F) ----
-        # (func_surf_energy_bal.c:185-228 solve_T_profile; here solved once at
-        # the converged Ts rather than inside every Brent iterate — the
-        # quick-flux T1 drives the residual, matching QUICK_SOLVE's spirit)
-        if fd_nodes:
-            from .physics.frozen_soil import (distribute_node_moisture,
-                                              estimate_layer_ice,
-                                              solve_t_profile_explicit)
-            nodep = distribute_node_moisture(moist_avg, state.node_temp, geom,
-                                             p, frozen=True)
-            if gp.implicit:
-                from .physics.frozen_soil import solve_t_profile_implicit
-                prof = solve_t_profile_implicit(
-                    state.node_temp, ts, nodep["kappa"], nodep["cs"],
-                    nodep["moist"], nodep["ice"], geom, p, dt_sec,
-                    noflux=gp.noflux, exp_trans=gp.exp_trans, frozen=True)
-            else:
-                prof = solve_t_profile_explicit(
-                    state.node_temp, ts, nodep["kappa"], nodep["cs"],
-                    nodep["moist"], nodep["ice"], geom, p, dt_sec,
-                    noflux=gp.noflux, exp_trans=gp.exp_trans, frozen=True,
-                    max_sweeps=gp.soil_sweep_maxiter)
-
         # suppress soil/canopy ET for snow-covered or snowing lanes
         # (func_surf_energy_bal.c:320: Evap=0 when SNOWING)
         no_soil_evap = jnp.logical_or(snowing, glacier)
@@ -712,7 +748,10 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
 
         # ---- node temperatures + layer ice ---------------------------------
         if fd_nodes:
-            node_temp = prof.temp
+            # new node profile solved at the converged Ts inside the final
+            # residual evaluation (calc_surf_energy_bal.c:489-506 final
+            # calculate(Tsurf); frozen_soil.c:67 copies Tnew into energy->T)
+            node_temp = eb.t_nodes
         else:
             # QUICK_FLUX path: nodes = [Ts, T1, T2] (calc_surf_energy_bal)
             node_temp = state.node_temp
@@ -800,9 +839,17 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 salbedo=state.lake_salbedo,
                 last_snow=state.lake_last_snow,
                 melting=state.lake_melting)
-            wl_ice_bot = take_wl(dwl(ice_new, ice_new_d))[..., -1] \
-                / jnp.maximum(jnp.asarray(p.max_moist,
-                                          cell_runoff.dtype)[..., -1], 1.0)
+            # bottom-layer relative moisture for the lake-bed ARNO curve
+            # (lakes.eb.c:2104-2115: liq = max_moist - WET-lane soil_ice,
+            # rel_moist = (liq - resid)/(max_moist - resid))
+            mm_bot = jnp.asarray(p.max_moist, cell_runoff.dtype)[..., -1]
+            resid_bot = (jnp.asarray(p.resid_moist,
+                                     cell_runoff.dtype)[..., -1]
+                         * jnp.asarray(p.depth,
+                                       cell_runoff.dtype)[..., -1] * 1000.0)
+            liq_bot = mm_bot - take_wl(ice_new)[..., -1]
+            wl_rel_moist = (liq_bot - resid_bot) / jnp.maximum(
+                mm_bot - resid_bot, 1.0)
             lres = lake_step(
                 lp_l, lstate,
                 tair=tair_c, wind=forcing["wind"],
@@ -821,11 +868,12 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 alb_accum_b=jnp.asarray(p.snow_alb_accum_b),
                 alb_thaw_a=jnp.asarray(p.snow_alb_thaw_a),
                 alb_thaw_b=jnp.asarray(p.snow_alb_thaw_b),
-                ds=p.ds, dsmax=p.dsmax, ws_arno=p.ws, dt_sec=dt_sec,
+                ds=p.ds, dsmax=p.dsmax, ws_arno=p.ws, c_expt=p.c_expt,
+                dt_sec=dt_sec, blowing=gp.blowing,
                 wetland_moist=take_wl(dwl(moist_wet_f, moist_dry_f)),
                 wetland_max_moist=jnp.asarray(p.max_moist,
                                               cell_runoff.dtype),
-                wetland_bottom_ice=wl_ice_bot)
+                wetland_rel_moist=wl_rel_moist)
             # wetland recharge: saturate the flooded fringe's soil from lake
             # water (lakes.eb.c:2046-2096); applied to both moisture columns
             dmo = lres.wetland_dmoist_mm
@@ -1064,7 +1112,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             tdepth_c = (tdep * w[..., None]).sum(-2) * 100.0   # cm
             fdepth_c = (fdep * w[..., None]).sum(-2) * 100.0
             # per-node fallback flags [c,h,nn] (frozen_soil.c:404-418)
-            soilt_fb = (prof.fbcount > 0).astype(ts.dtype) if fd_nodes \
+            soilt_fb = (eb.node_fbcount > 0).astype(ts.dtype) if fd_nodes \
                 else jnp.zeros_like(node_temp)
         else:
             tdepth_c = jnp.zeros(cell_runoff.shape + (3,), cell_runoff.dtype)

@@ -67,6 +67,17 @@ class NodeGeometry:
     samp_w: np.ndarray        # weight of node i0+1 (1-w on i0)
     samp_trap: np.ndarray     # trapezoid weight / layer depth
     bexp: np.ndarray          # [n_cell] EXP_TRANS exponent (0 if unused)
+    # REFERENCE QUIRK ARRAYS (see solve_t_profile_explicit docstring):
+    # frozen_soil.c:114-115 passes the per-LAYER soil_con->max_moist (mm),
+    # bubble and expt arrays to the node solver, indexed BY NODE.  For node
+    # j < MAX_LAYERS(=3) that reads layer j's values in the wrong units
+    # (mm where mm/mm is expected); for j >= 3 the out-of-bounds read lands
+    # deterministically in the *_node array declared right after it in
+    # soil_con_struct (vicNl_def.h:919-940), i.e. node j-3's volumetric
+    # values.  These arrays reproduce that aliasing exactly.
+    solver_max_moist: np.ndarray = None   # [n_cell, nn]
+    solver_bubble: np.ndarray = None
+    solver_expt: np.ndarray = None
 
     @property
     def n_node(self):
@@ -137,18 +148,33 @@ def build_node_geometry(soil, gp) -> NodeGeometry:
     beta = np.maximum(beta, 1e-6)
     gamma = np.maximum(gamma, 1e-6)
 
-    # node -> layer mapping (set_node_parameters walk, soil_conduction.c:142+)
+    # node -> layer mapping: the reference's walk (set_node_parameters /
+    # distribute_node_moisture_properties, soil_conduction.c:91-118,370-435)
+    # advances the layer index at the END of each node iteration, checking
+    # Zsum_node[nidx] > Lsum + depth[lidx] — so a node strictly below a
+    # layer boundary still reads the layer ABOVE it (e.g. with depths
+    # [0.1,0.3,1.0] and nodes [0,0.1,0.2,...], node 2 at z=0.2 reads layer
+    # 0, not layer 1).  This lag shifts node moisture/kappa/max_moist and
+    # is load-bearing for FROZEN_SOIL parity; replicated literally.
     lsum = np.concatenate([np.zeros((n_cell, 1)), np.cumsum(depth, 1)], 1)
     node_layer = np.zeros((n_cell, nn), np.int32)
     on_boundary = np.zeros((n_cell, nn), bool)
     for ci in range(n_cell):
+        lidx = 0
+        cum = 0.0
+        past_bottom = False
         for j in range(nn):
             z = zsum[ci, j]
-            l = int(np.searchsorted(lsum[ci, 1:], z + 1e-12))
-            l = min(l, nl - 1)
-            node_layer[ci, j] = l
-            if j != 0 and l != nl - 1 and abs(z - lsum[ci, l + 1]) < 1e-12:
+            if (j != 0 and lidx != nl - 1
+                    and abs(z - (cum + depth[ci, lidx])) < 1e-12):
                 on_boundary[ci, j] = True
+            node_layer[ci, j] = lidx
+            if z > cum + depth[ci, lidx] + 1e-12 and not past_bottom:
+                cum += depth[ci, lidx]
+                lidx += 1
+                if lidx == nl:
+                    past_bottom = True
+                    lidx = nl - 1
 
     gidx = np.arange(n_cell)[:, None]
     max_moist_vol = np.asarray(soil.max_moist) / (depth * 1000.0)
@@ -189,12 +215,36 @@ def build_node_geometry(soil, gp) -> NodeGeometry:
                 samp_trap[ci, l, k] = 0.5 * (left + right) / max(
                     z_bot - z_top, 1e-12)
 
+    # reference-quirk solver arrays (frozen_soil.c:114-115 layer-array
+    # aliasing; see NodeGeometry field comments).  MAX_LAYERS=3 upstream
+    # (user_def.h:95): node j<3 reads soil layer j's mm-units values, node
+    # j>=3 reads the volumetric *_node[j-3] entries via the struct-layout
+    # overrun (vicNl_def.h:939-940).
+    max_moist_mm = np.asarray(soil.max_moist)            # [c, nl] in mm
+    bubble_l = np.asarray(soil.bubble)
+    expt_l = np.asarray(soil.expt)
+    solver_max_moist = np.zeros((n_cell, nn))
+    solver_bubble = np.zeros((n_cell, nn))
+    solver_expt = np.zeros((n_cell, nn))
+    for j in range(nn):
+        if j < 3:
+            li = min(j, nl - 1)
+            solver_max_moist[:, j] = max_moist_mm[:, li]
+            solver_bubble[:, j] = bubble_l[:, li]
+            solver_expt[:, j] = expt_l[:, li]
+        else:
+            solver_max_moist[:, j] = max_moist_node[:, j - 3]
+            solver_bubble[:, j] = bubble_node[:, j - 3]
+            solver_expt[:, j] = expt_node[:, j - 3]
+
     return NodeGeometry(
         zsum=zsum, dz=dz, alpha=alpha, beta=beta, gamma=gamma,
         node_layer=node_layer, on_boundary=on_boundary,
         max_moist_node=max_moist_node, expt_node=expt_node,
         bubble_node=bubble_node, samp_i0=samp_i0, samp_w=samp_w,
-        samp_trap=samp_trap, bexp=bexp)
+        samp_trap=samp_trap, bexp=bexp,
+        solver_max_moist=solver_max_moist, solver_bubble=solver_bubble,
+        solver_expt=solver_expt)
 
 
 def _gather_layer(arr_l, node_layer):
@@ -261,20 +311,47 @@ class ProfileResult(NamedTuple):
 def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
                              geom: NodeGeometry, params, dt_sec,
                              noflux: bool, exp_trans: bool, frozen: bool,
-                             max_sweeps: int = 30, bisect_iters: int = 16
-                             ) -> ProfileResult:
-    """Explicit Gauss-Seidel node sweep (frozen_soil.c:305-430).
+                             max_sweeps: int = 30, bisect_iters: int = 24,
+                             ice_quirk: bool = True) -> ProfileResult:
+    """Gauss-Seidel node sweep (frozen_soil.c:305-468 calc_soil_thermal_fluxes;
+    the scheme is backward-Euler in time, iterated Gauss-Seidel in space).
 
     t0: [c,h,nn] previous temps; surf_temp: [c,h] boundary condition (node 0).
     kappa/cs/moist_node/ice0_node: [c,h,nn] at the OLD temperatures.
+
+    REFERENCE QUIRK (ice_quirk=True, the parity default): frozen_soil.c:114-115
+    passes the per-LAYER soil_con->max_moist/bubble/expt arrays into the node
+    solve, indexed BY NODE.  Inside SoilThermalEqn (soil_thermal_eqn.c:35) the
+    in-iteration ice content therefore evaluates maximum_unfrozen_water with
+    max_moist in mm (hundreds) against volumetric moisture (~0.4), so
+    ice(T) == 0 for every reachable T on nodes 0..2, the E*(ice-ice0) term sits
+    at -E*ice0, the root is unbracketable whenever the node carries ice, and
+    root_brent's TFALLBACK pins the node at its previous temperature.  Nodes
+    >= 3 read past the layer array into the adjacent *_node struct fields
+    (vicNl_def.h:939-940) and get node j-3's volumetric values (nearly correct
+    physics).  The practical upshot - sub-freezing shallow nodes freeze IN TIME
+    all winter - dominates the reference's FROZEN_SOIL behaviour and must be
+    reproduced for parity.  The same units bug in fda_heat_eqn
+    (frozen_soil.c:589) makes the IMPLICIT Newton-Raphson fail (TOLF can never
+    be met while any node carries ice), so the reference's implicit path falls
+    back here ~always; ice-free columns solve the same backward-Euler system
+    either way.  Set ice_quirk=False for the physically-correct solver.
     """
     nn = t0.shape[-1]
     B1 = lambda a: a[:, None, :]
     alpha, beta, gamma = B1(geom.alpha), B1(geom.beta), B1(geom.gamma)
     zsum = B1(geom.zsum)
-    mmax = B1(geom.max_moist_node)
-    bub = B1(geom.bubble_node)
-    expt = B1(geom.expt_node)
+    if ice_quirk and geom.solver_max_moist is not None:
+        mmax = B1(jnp.asarray(geom.solver_max_moist))
+        bub = B1(jnp.asarray(geom.solver_bubble))
+        expt = B1(jnp.asarray(geom.solver_expt))
+        # the node ice cap stays the true volumetric limit in the reference
+        # (ice>max_moist clamp uses the same buggy array; keep it, it never
+        # binds when the quirk zeroes ice)
+    else:
+        mmax = B1(geom.max_moist_node)
+        bub = B1(geom.bubble_node)
+        expt = B1(geom.expt_node)
     deltat = dt_sec
     fs = params.fs_active[:, None, None] if frozen else False
 
@@ -310,18 +387,28 @@ def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
         return jnp.where(fs[..., 0], jnp.minimum(iw, mmax[..., j]), 0.0)
 
     def node_residual(t, j, T, tl_idx, tu_idx):
-        """SoilThermalEqn::calculate at node j (soil_thermal_eqn.c)."""
+        """SoilThermalEqn::calculate at node j (soil_thermal_eqn.c), incl.
+        the node-1 "cold nose" residual patch (soil_thermal_eqn.c:58-70:
+        when |TL-TU|>5 and T below both neighbours and the B flux term
+        outweighs and opposes the C/D terms, drop the B term)."""
         tl = T[..., tl_idx]
         tu = T[..., tu_idx]
         ice = jnp.where(t < 0.0, ice_at(t, j), 0.0)
         if not exp_trans:
-            val = (-A[..., j] * (t - t0[..., j]) + B[..., j] * (tl - tu)
-                   + C[..., j] * (tl - t) - D[..., j] * (t - tu)
+            f1 = B[..., j] * (tl - tu)
+            f2 = C[..., j] * (tl - t) - D[..., j] * (t - tu)
+            val = (-A[..., j] * (t - t0[..., j]) + f1 + f2
                    + E[..., j] * (ice - ice0_node[..., j]))
         else:
-            val = (-A[..., j] * (t - t0[..., j]) + B[..., j] * (tl - tu)
-                   + C[..., j] * (tl - 2.0 * t + tu) - D[..., j] * (tl - tu)
+            f1 = B[..., j] * (tl - tu)
+            f2 = (C[..., j] * (tl - 2.0 * t + tu)
+                  - D[..., j] * (tl - tu))
+            val = (-A[..., j] * (t - t0[..., j]) + f1 + f2
                    + E[..., j] * (ice - ice0_node[..., j]))
+        if j == 1:
+            cold_nose = (jnp.abs(tl - tu) > 5.0) & (t < tl) & (t < tu) \
+                & (f1 < 0.0) & (f2 > 0.0) & (jnp.abs(f1) > jnp.abs(f2))
+            val = jnp.where(cold_nose, val - f1, val)
         return val
 
     def sweep(T):
@@ -344,22 +431,29 @@ def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
                          + E[..., j] * (0.0 - ice0_node[..., j])) / (
                     A[..., j] + 2.0 * C[..., j])
             if frozen:
-                # frozen node: bisection on [T0-SOIL_DT, T0+SOIL_DT]; when the
-                # root lies outside, widen to +-10 like root_brent's TSTEP
-                # bracket expansion (root_brent.c:183-190)
-                lo = t0[..., j] - c.SOIL_DT
-                hi = t0[..., j] + c.SOIL_DT
-                f_lo = node_residual(lo, j, T, j + 1, j - 1)
-                f_hi = node_residual(hi, j, T, j + 1, j - 1)
-                narrow = f_lo * f_hi < 0.0
-                lo_w = t0[..., j] - 10.0
-                hi_w = t0[..., j] + 10.0
-                f_lo_w = node_residual(lo_w, j, T, j + 1, j - 1)
-                f_hi_w = node_residual(hi_w, j, T, j + 1, j - 1)
-                lo = jnp.where(narrow, lo, lo_w)
-                hi = jnp.where(narrow, hi, hi_w)
-                f_lo = jnp.where(narrow, f_lo, f_lo_w)
-                bracketed = jnp.logical_or(narrow, f_lo_w * f_hi_w < 0.0)
+                # frozen node: root on [T0-SOIL_DT, T0+SOIL_DT]
+                # (frozen_soil.c:401), expanded symmetrically by TSTEP=10 up
+                # to MAXTRIES=5 times exactly like root_brent.c:183-190 —
+                # the first bracketing pair wins; with the reference ice
+                # quirk the E*(0-ice0) offset usually leaves every pair
+                # unbracketed and the node TFALLBACKs to T0
+                deltas = [c.SOIL_DT + 10.0 * k for k in range(6)]
+                lo = hi = f_lo = None
+                bracketed = None
+                for dlt in deltas:
+                    lo_k = t0[..., j] - dlt
+                    hi_k = t0[..., j] + dlt
+                    f_lo_k = node_residual(lo_k, j, T, j + 1, j - 1)
+                    f_hi_k = node_residual(hi_k, j, T, j + 1, j - 1)
+                    br_k = f_lo_k * f_hi_k < 0.0
+                    if lo is None:
+                        lo, hi, f_lo, bracketed = lo_k, hi_k, f_lo_k, br_k
+                    else:
+                        take = jnp.logical_and(~bracketed, br_k)
+                        lo = jnp.where(take, lo_k, lo)
+                        hi = jnp.where(take, hi_k, hi)
+                        f_lo = jnp.where(take, f_lo_k, f_lo)
+                        bracketed = jnp.logical_or(bracketed, br_k)
 
                 def bis_body(_, carry):
                     lo_, hi_, flo_ = carry
@@ -409,16 +503,41 @@ def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
 
     def cond(carry):
         _, i, maxdiff, _ = carry
-        return jnp.logical_and(i < max_sweeps, maxdiff > 1e-2)
+        return jnp.logical_and(i < max_sweeps, jnp.max(maxdiff) > 1e-2)
 
     def body(carry):
         T, i, _, fb_tot = carry
         T, fb, maxdiff = sweep(T)
-        return T, i + 1, jnp.max(maxdiff), fb_tot + fb
+        return T, i + 1, maxdiff, fb_tot + fb
 
-    T, iters, _, fb = jax.lax.while_loop(
-        cond, body, (T_init, jnp.int32(0), jnp.asarray(1.0, t0.dtype),
+    T, iters, lastdiff, fb = jax.lax.while_loop(
+        cond, body, (T_init, jnp.int32(0),
+                     jnp.ones(t0.shape[:-1], t0.dtype),
                      jnp.zeros(t0.shape, jnp.int32)))
+
+    # post-sweep runaway-cold-nose hack (frozen_soil.c:470-484, TFALLBACK
+    # path): a node that was already a local cold minimum last step and got
+    # even colder relative to BOTH neighbours is replaced by the plain
+    # average of its neighbours.  Replicated literally, including the
+    # reference's mixed old/new second condition (Tlast[j+1]-T[j]) and the
+    # ascending-j use of already-hacked T[j-1].
+    tlast = T_init
+    for j in range(1, nn - 1):
+        nose = ((tlast[..., j - 1] - tlast[..., j] > 0.0)
+                & (tlast[..., j + 1] - T[..., j] > 0.0)
+                & ((T[..., j - 1] - T[..., j])
+                   - (tlast[..., j - 1] - tlast[..., j]) > 0.0)
+                & ((T[..., j + 1] - T[..., j])
+                   - (tlast[..., j + 1] - tlast[..., j]) > 0.0))
+        T = T.at[..., j].set(jnp.where(
+            nose, 0.5 * (T[..., j - 1] + T[..., j + 1]), T[..., j]))
+        fb = fb.at[..., j].add(nose.astype(jnp.int32))
+
+    # sweep non-convergence: the WHOLE profile reverts to the previous
+    # temperatures (with the node-0 BC kept), frozen_soil.c:486-494
+    not_done = (lastdiff > 1e-2)[..., None]
+    T = jnp.where(not_done, T_init, T)
+    fb = jnp.where(not_done, fb + 1, fb)
     return ProfileResult(temp=T, fbcount=fb, iterations=iters)
 
 

@@ -809,7 +809,20 @@ def lake_ice_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
                   max_iter: int = 30, blowing_flux=0.0,
                   active=None) -> IceMeltResult:
     """Batched ice_melt.c: two-layer (surface/pack) snow over lake ice.
-    All mass states in m of water equivalent over the ICE area."""
+    All mass states in m of water equivalent over the ICE area.
+
+    Documented deviations from ice_melt.c's quirk ordering (numerically
+    small; flagged for parity review):
+    (a) in the complete-snow/partial-ice melt branch the reference zeroes
+        SurfaceSwq/PackSwq BEFORE subtracting from pack_ice so it subtracts
+        the full SnowMelt (ice_melt.c:389-393); here (snowmelt -
+        surface_swq) is subtracted from the pre-update pack_ice;
+    (b) pack-refreeze cold content and the thin-surface relayering use
+        PRE-update masses/CC where the reference uses already-mutated
+        values;
+    (c) thin-snow lanes (SurfaceSwq <= MIN_SWQ_EB_THRES) receive the full
+        branch-B mass updates (surf_water refreeze, vapor flux), whereas
+        the reference sets surf_temp = INVALID and skips them."""
     snowfall = snowfall_mm / 1000.0
     rainfall = rainfall_mm / 1000.0
     old_tsurf = surf_temp
@@ -1231,7 +1244,7 @@ def solve_lake(lp: LakeParams, st: LakeState, *, snowfall_mm, rainfall_mm,
                tair, wind, vp, sw_in, lw_in, vpd, pressure, air_density,
                dt_sec, wind_h, snow_rough, lat, day_in_year,
                new_snow_alb, alb_accum_a, alb_accum_b, alb_thaw_a,
-               alb_thaw_b, active) -> SolveLakeResult:
+               alb_thaw_b, active, blowing: bool = False) -> SolveLakeResult:
     """One energy-budget pass over every lake lane (lakes.eb.c solve_lake).
     vp/vpd/pressure in Pa. Does NOT touch the water balance (volume changes
     only through ice phase bookkeeping), mirroring the reference split."""
@@ -1348,6 +1361,27 @@ def solve_lake(lp: LakeParams, st: LakeState, *, snowfall_mm, rainfall_mm,
     lake_ice_m = jnp.where(st.ice_area > 0.0,
                            st.ice_water_eq / jnp.maximum(st.ice_area, 1.0),
                            0.0)
+    if blowing:
+        # blowing-snow sublimation over lake ice (ice_melt.c:264-288) with
+        # the reference's hard-wired frozen-pond parameters: lag_one 0.95,
+        # sigma_slope 0.005, fetch 100 m, displacement 0.067 m, roughness
+        # 0.0123 m (10-cm protrusions)
+        from .blowing_snow import calc_blowing_snow
+        ls_lake = (677.0 - 0.07 * st.surf_temp) \
+            * c.JOULES_PER_CAL * c.GRAMS_PER_KG
+        blow_lake, _ = calc_blowing_snow(
+            dt_sec=dt_sec, tair=tair,
+            last_snow=st.last_snow.astype(tair.dtype),
+            surf_water_m=surf_water_i, wind_2m=windi, ls=ls_lake,
+            air_dens=air_density, pressure=pressure, eact=vp,
+            z0_snow=snow_rough, zrh=wind_h + snow_rough,
+            snowdepth=swq_i * c.RHO_W / RHOSNOW,
+            lag_one=0.95, sigma_slope=0.005, tsnow=st.surf_temp,
+            is_bare=jnp.zeros_like(swq_i, bool), fetch=100.0,
+            displacement=0.067, roughness=0.0123)
+        blow_lake = jnp.where(swq_i > 0.0, blow_lake, 0.0)
+    else:
+        blow_lake = 0.0
     im = lake_ice_melt(
         swq=swq_i, surf_temp=st.surf_temp, pack_temp=st.pack_temp,
         surf_water=surf_water_i, pack_water=pack_water_i,
@@ -1357,6 +1391,7 @@ def solve_lake(lp: LakeParams, st: LakeState, *, snowfall_mm, rainfall_mm,
         air_dens=air_density, longwave_in=lw_in, net_short=sw_ice,
         tcutoff=tcutoff, ra=aero_resist_i,
         z_ref=wind_h + snow_rough, roughness=snow_rough, dt_sec=dt_sec,
+        blowing_flux=blow_lake,
         active=jnp.logical_and(active, has_icefrac))
 
     ui = water_under_ice(
@@ -1515,8 +1550,9 @@ def lake_step(lp: LakeParams, st: LakeState, *, tair, wind, sw_in, lw_in,
               runoff_in_m3, baseflow_in_m3, lat, day_in_year, wind_h,
               snow_rough, new_snow_alb, alb_accum_a, alb_accum_b,
               alb_thaw_a, alb_thaw_b, ds, dsmax, ws_arno, dt_sec,
-              wetland_moist=None, wetland_max_moist=None,
-              wetland_bottom_ice=None, active=None) -> LakeStepResult:
+              c_expt=None, wetland_moist=None, wetland_max_moist=None,
+              wetland_rel_moist=None, active=None,
+              blowing: bool = False) -> LakeStepResult:
     """One model step: solve_lake energy budget followed by water_balance
     (full_energy.c:763-800 sequencing). Inactive lanes pass through.
     vp_air/vpd/pressure in Pa. Mass fluxes in m^3 over the cell's lake."""
@@ -1533,7 +1569,8 @@ def lake_step(lp: LakeParams, st: LakeState, *, tair, wind, sw_in, lw_in,
         wind_h=wind_h, snow_rough=snow_rough, lat=lat,
         day_in_year=day_in_year, new_snow_alb=new_snow_alb,
         alb_accum_a=alb_accum_a, alb_accum_b=alb_accum_b,
-        alb_thaw_a=alb_thaw_a, alb_thaw_b=alb_thaw_b, active=active)
+        alb_thaw_a=alb_thaw_a, alb_thaw_b=alb_thaw_b, active=active,
+        blowing=blowing)
 
     s1 = res.state
     sarea = res.sarea
@@ -1595,10 +1632,14 @@ def lake_step(lp: LakeParams, st: LakeState, *, tair, wind, sw_in, lw_in,
         recharge_m3 = jnp.zeros_like(volume)
         dmoist = None
 
-    # ---- ARNO baseflow through the lake bed (lakes.eb.c:2100-2150) --------
-    dsmax_step = dsmax / 24.0 * dt_h
-    if wetland_bottom_ice is not None:
-        rel_moist = jnp.clip(1.0 - wetland_bottom_ice, 0.0, 1.0)
+    # ---- ARNO baseflow through the lake bed (lakes.eb.c:2100-2126) --------
+    # Dsmax/24 per STEP with no dt scaling — the reference books one hour's
+    # worth of Dsmax each model step whatever the step length (quirk kept)
+    dsmax_step = dsmax / 24.0
+    if wetland_rel_moist is not None:
+        # rel_moist = (liq-resid)/(max_moist-resid) from the wetland bottom
+        # layer's WET-lane ice (lakes.eb.c:2104-2115), computed by the caller
+        rel_moist = jnp.clip(wetland_rel_moist, 0.0, 1.0)
     else:
         rel_moist = jnp.ones_like(volume)
     frac = dsmax_step * ds / ws_arno
@@ -1606,8 +1647,10 @@ def lake_step(lp: LakeParams, st: LakeState, *, tair, wind, sw_in, lw_in,
     over_ws = rel_moist > ws_arno
     frac2 = jnp.where(over_ws, (rel_moist - ws_arno)
                       / jnp.maximum(1.0 - ws_arno, c.SMALL), 0.0)
+    cexp = jnp.ones_like(volume) * 2.0 if c_expt is None else c_expt
     baseflow_mm = baseflow_mm + jnp.where(
-        over_ws, dsmax_step * (1.0 - ds / ws_arno) * frac2, 0.0)
+        over_ws, dsmax_step * (1.0 - ds / ws_arno)
+        * jnp.power(jnp.maximum(frac2, c.SMALL), cexp), 0.0)
     baseflow_mm = jnp.maximum(baseflow_mm, 0.0)
     liquid3 = jnp.maximum(volume - s1.ice_water_eq, 0.0)
     ldepth3 = depth_from_volume(lp, liquid3)
@@ -1628,18 +1671,30 @@ def lake_step(lp: LakeParams, st: LakeState, *, tair, wind, sw_in, lw_in,
     runoff_out = jnp.clip(runoff_out,
                           0.0, jnp.maximum(volume - lp.minvolume, 0.0))
     volume = volume - runoff_out
-    # growth caps (lakes.eb.c:2183-2200)
+    # growth caps (lakes.eb.c:2183-2200): when ice alone exceeds maxvolume,
+    # only the LIQUID above the ice water-equivalent runs off and the
+    # volume floors at ice_water_eq — cutting to maxvolume there would book
+    # phantom liquid as runoff
     excess_save = jnp.maximum(volume - volume_save, 0.0)
     runoff_out = runoff_out + excess_save
     volume = volume - excess_save
-    excess_max = jnp.maximum(volume - lp.maxvolume, 0.0)
+    cap = jnp.maximum(lp.maxvolume, s1.ice_water_eq)
+    excess_max = jnp.where(volume - lp.maxvolume > c.SMALL,
+                           jnp.maximum(volume - cap, 0.0), 0.0)
     runoff_out = runoff_out + excess_max
     volume = volume - excess_max
     volume = jnp.where(volume < c.SMALL, 0.0, volume)
 
-    # final extent
+    # final extent; when the liquid depth vanishes (activenod==0 branch,
+    # lakes.eb.c:2240-2247) any residual liquid above the ice
+    # water-equivalent is dumped to runoff and volume = ice_water_eq
     liquid5 = jnp.maximum(volume - s1.ice_water_eq, 0.0)
     ldepth5 = depth_from_volume(lp, liquid5)
+    dry = ldepth5 <= c.SMALL
+    runoff_out = runoff_out + jnp.where(dry, liquid5, 0.0)
+    volume = jnp.where(dry, s1.ice_water_eq, volume)
+    liquid5 = jnp.where(dry, 0.0, liquid5)
+    ldepth5 = jnp.where(dry, 0.0, ldepth5)
     area5 = area_from_depth(lp, ldepth5)
     sarea_end = jnp.maximum(area5, res.new_ice_area)
 

@@ -57,6 +57,11 @@ class SurfEBResult(NamedTuple):
     throughfall_dry: jnp.ndarray = None
     wdew_new_dry: jnp.ndarray = None
     evap_dry: jnp.ndarray = None
+    # finite-difference path (QUICK_FLUX FALSE): the node profile solved at
+    # this candidate Ts (func_surf_energy_bal.c:190-228) and its per-node
+    # TFALLBACK counts. None on the quick-flux path.
+    t_nodes: jnp.ndarray = None
+    node_fbcount: jnp.ndarray = None
 
 
 def surf_energy_terms(
@@ -81,7 +86,7 @@ def surf_energy_terms(
         grnd_flux_type: int = 1, frozen_soil: bool = False,
         compute_evap: bool = True, dist_dry: dict = None,
         mu_wet=None, evap_pre: dict = None,
-        evap_pre_dry: dict = None) -> SurfEBResult:
+        evap_pre_dry: dict = None, fd_solve=None) -> SurfEBResult:
     """Evaluate every term of the surface energy balance at candidate Ts.
 
     kappa_snow/tsnow_surf: pack->soil conduction coupling for snow-covered
@@ -103,16 +108,37 @@ def surf_energy_terms(
     else:
         snow_flux = jnp.zeros_like(tmean)
 
-    # quick-flux ground heat (func_surf_energy_bal.c:171-181)
-    t1 = estimate_t1(tmean, t1_old, t2, d1, d2, kappa1, kappa2, cs1, cs2, dp,
-                     delta_t)
     cover_atten = snow_coverage + (1.0 - snow_coverage) * surf_atten
-    if grnd_flux_type == 0:  # GF_406
-        grnd_flux = cover_atten * (kappa1 / d1 * (t1 - tmean))
-    else:  # GF_410 / GF_FULL
-        grnd_flux = cover_atten * (
-            kappa1 / d1 * (t1 - tmean)
-            + (kappa2 / d2 * (1.0 - jnp.exp(-d1 / dp)) * (t2 - t1))) / 2.0
+    t_nodes = None
+    node_fbcount = None
+    if fd_solve is not None:
+        # finite-difference path (QUICK_FLUX FALSE): solve the full node
+        # profile WITH THIS CANDIDATE Ts as the node-0 Dirichlet BC, every
+        # residual evaluation (func_surf_energy_bal.c:185-228: T_node[0] =
+        # TMean; solve_T_profile[_implicit]; T1 = Tnew_node[1]); grnd_flux
+        # from the node-1/2 gradient — no exp(-D1/dp) damping term here
+        # (func_surf_energy_bal.c:234-240), D1/D2 are node spacings
+        # (calc_surf_energy_bal.c:242-243)
+        prof = fd_solve(tmean)
+        t_nodes = prof.temp
+        node_fbcount = prof.fbcount
+        t1 = t_nodes[..., 1]
+        if grnd_flux_type == 0:  # GF_406
+            grnd_flux = cover_atten * (kappa1 / d1 * (t1 - tmean))
+        else:  # GF_410 / GF_FULL
+            grnd_flux = cover_atten * (
+                kappa1 / d1 * (t1 - tmean)
+                + kappa2 / d2 * (t_nodes[..., 2] - t1)) / 2.0
+    else:
+        # quick-flux ground heat (func_surf_energy_bal.c:171-181)
+        t1 = estimate_t1(tmean, t1_old, t2, d1, d2, kappa1, kappa2, cs1, cs2,
+                         dp, delta_t)
+        if grnd_flux_type == 0:  # GF_406
+            grnd_flux = cover_atten * (kappa1 / d1 * (t1 - tmean))
+        else:  # GF_410 / GF_FULL
+            grnd_flux = cover_atten * (
+                kappa1 / d1 * (t1 - tmean)
+                + (kappa2 / d2 * (1.0 - jnp.exp(-d1 / dp)) * (t2 - t1))) / 2.0
 
     # heat storage between nodes 0 and 1 (func_surf_energy_bal.c:249-254)
     delta_h_full = cs1 * ((ts_old + t1_old) - (tmean + t1)) * d1 / delta_t / 2.0
@@ -256,7 +282,7 @@ def surf_energy_terms(
         net_short_bare=shortwave_net_bare, evap=evap, layer_evap=layer_evap,
         canopy_evap_mm=canopy_evap_mm, throughfall=throughfall,
         wdew_new=wdew_new, refreeze_energy=refreeze_energy, delta_cc=delta_cc,
-        **dry)
+        t_nodes=t_nodes, node_fbcount=node_fbcount, **dry)
 
 
 def solve_surface_temperature(kwargs, t0_old, tair, full_energy: bool,

@@ -171,8 +171,22 @@ def initial_state(domain, gp, surf_temp_init=None, dtype=jnp.float32,
                     lake_last_snow=zc,
                     lake_melting=jnp.zeros((n_cell,), bool))
 
+    # initial layer ice from the cold-start node profile
+    # (initialize_model_state.c:927 estimate_layer_ice_content with the
+    # initial energy.T): a frozen cold start must begin with its layer
+    # water already partitioned into ice, or the first winter's fusion /
+    # thermal properties / transpiration stress are all wrong
+    ice_init = Z(nl)
+    if fd_nodes and gp.frozen_soil:
+        from .physics.frozen_soil import estimate_layer_ice
+        _, ice_init = estimate_layer_ice(
+            node_temp, moist, geom, domain.soil, frozen=True,
+            frost_subareas=(gp.frost_subareas if gp.spatial_frost else 1),
+            frost_slope=gp.frost_slope)
+        ice_init = ice_init.astype(dtype)
+
     return ModelState(
-        moist=moist, ice=Z(nl), moist_dry=moist, ice_dry=Z(nl),
+        moist=moist, ice=ice_init, moist_dry=moist, ice_dry=ice_init,
         wdew=Z(), wdew_dry=Z(), snow_canopy=Z(),
         swq=Z(), surf_temp=Z(), pack_temp=Z(), surf_water=Z(), pack_water=Z(),
         density=Z(), depth=Z(), albedo=Z(),
