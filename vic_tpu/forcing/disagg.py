@@ -275,15 +275,33 @@ def build_model_forcing(supplied: Dict[str, np.ndarray], gp, domain,
                     mtclim_swe_corr=gp.mtclim_swe_corr,
                     vp_iter=int(gp.vp_iter), steps_per_day=24)
 
-    # hourly radiation cycle for tmin/tmax hour detection (always at 24/day)
+    # hourly radiation cycle (always at 24/day)
     rf24 = mt["radfract"][:, ydays_p - 1, :]        # [n_cell, n_day_p, 24]
-    tmin_h, tmax_h = set_max_min_hour(rf24)
+
+    # mtclim_to_vic radiation shift quirk (mtclim_wrapper.c:195-215):
+    # hourlyrad is built by sampling the day's radfract at (local_hour -
+    # hour_offset) with WRAP WITHIN THE SAME DAY, using the REAL-VALUED
+    # offset at SRADDT resolution.  Because the atmos fill loops
+    # (initialize_atmos.c:806-816) apply the integer hour shift AGAIN, the
+    # radiation ends up displaced by ~2*hour_offset on the model axis —
+    # and the tmin/tmax hours (set_max_min_hour on the shifted hourlyrad,
+    # initialize_atmos.c:830) inherit one extra shift too.  Fractional
+    # shifts are linear mixes of adjacent hourly bins (the tiny-step sum).
+    off_real = (np.asarray(soil.off_gmt) - np.asarray(soil.lng)) * 24.0 / 360.0
+    jj = np.arange(24)[None, :]
+    pos = np.mod(jj - off_real[:, None], 24.0)      # [n_cell, 24]
+    j0 = np.floor(pos).astype(np.int64) % 24
+    w_frac = (pos - np.floor(pos))[:, None, :]
+    take = lambda idx: np.take_along_axis(
+        rf24, np.broadcast_to(idx[:, None, :], rf24.shape), axis=-1)
+    rf24_s = (1.0 - w_frac) * take(j0) + w_frac * take((j0 + 1) % 24)
+
+    tmin_h, tmax_h = set_max_min_hour(rf24_s)
 
     # hourly LOCAL series, [n_cell, n_day_p*24]
     air_h = hourly_temperature(tmin_d, tmax_d, tmin_h, tmax_h, 24)
     daily_j = mt["srad"] * mt["daylength"]          # [n_cell, n_day_p]
-    sw_h = (daily_j[..., None] * rf24 / 3600.0).reshape(n_cell, -1)
-    prec_h = np.repeat(prec_d / 24.0, 24, axis=1)
+    sw_h = (daily_j[..., None] * rf24_s / 3600.0).reshape(n_cell, -1)
     vp_h = np.repeat(mt["pva"], 24, axis=1)
     tskc_h = np.repeat(mt["tskc"], 24, axis=1)
 
@@ -302,8 +320,18 @@ def build_model_forcing(supplied: Dict[str, np.ndarray], gp, domain,
     air_temp = to_steps(air_h)
     sw = to_steps(sw_h)
     vp = to_steps(vp_h)
-    prec = to_steps(prec_h, extensive=True)
     tskc = to_steps(tskc_h)
+
+    # daily precip: the reference books each whole sub-step at the LOCAL
+    # day of the sub-step's STARTING hour (initialize_atmos.c:453-463:
+    # idx = hour/24 with hour = step start - hour_offset_int (+24); the
+    # day's total divides evenly, 1/(NF*stepspday) per sub-step) — no
+    # hourly splitting across local midnight inside a window
+    h0 = np.arange(n_rec) * gp.dt                           # model start hour
+    pday = (h0[None, :] - hour_offset[:, None] + 24) // 24  # padded-axis day
+    pday = np.clip(pday, 0, n_day + 1).astype(np.int64)
+    prec = (np.take_along_axis(prec_d, pday, axis=1)
+            * (gp.dt / 24.0)).T                             # [n_rec, n_cell]
 
     def fit(name):
         # daily-supplied extras on the sub-daily model axis: uniform repeat

@@ -176,6 +176,39 @@ def calc_pet_mtclim(rad, tday, pa, dayl):
     return pet / 10.0
 
 
+SNOW_TCRIT = -6.0    # deg C, critical temperature (mtclim_parameters:35)
+SNOW_TRATE = 0.042   # cm/degC/day melt rate (mtclim_parameters:36)
+
+
+def mtclim_snowpack(prcp_cm, tmin, yday):
+    """Radiation-correction snowpack (mtclim_vic.c:461-523 snowpack()).
+
+    prcp_cm/tmin: [n_cell, n_day]; yday: [n_day] 1-based. Returns SWE in cm.
+    """
+    n_cell, n_day = np.shape(prcp_cm)
+    newsnow = np.where(tmin <= SNOW_TCRIT, prcp_cm, 0.0)
+    melt = np.where(tmin <= SNOW_TCRIT, 0.0,
+                    SNOW_TRATE * (tmin - SNOW_TCRIT))
+    delta = newsnow - melt
+
+    def accumulate(init):
+        swe = np.zeros((n_cell, n_day))
+        pack = init
+        for i in range(n_day):
+            pack = np.maximum(pack + delta[:, i], 0.0)
+            swe[:, i] = pack
+        return swe
+
+    swe = accumulate(np.zeros(n_cell))
+    start_yday = yday[0]
+    prev_yday = 365 if start_yday == 1 else start_yday - 1
+    match = (yday[1:] == start_yday) | (yday[1:] == prev_yday)
+    count = int(match.sum())
+    if count:
+        swe = accumulate(swe[:, 1:][:, match].sum(-1) / count)
+    return swe
+
+
 def mtclim_run(lat_deg, elev, yday, prcp_mm, tmax, tmin, swe_mm=None,
                sw_prec_thresh=0.0, mtclim_swe_corr=True, vp_iter=1,
                steps_per_day=24, supplied_sw=None, supplied_vp=None
@@ -215,8 +248,14 @@ def mtclim_run(lat_deg, elev, yday, prcp_mm, tmax, tmin, swe_mm=None,
     t_fmax = np.where(rain_day, t_fmax * RAIN_SCALAR, t_fmax)
 
     pa = atm_pres(np.asarray(elev))[:, None]
-    swe_cm = (np.asarray(swe_mm) / 10.0 if swe_mm is not None
-              else np.zeros_like(tmax))
+    if swe_mm is not None:
+        swe_cm = np.asarray(swe_mm) / 10.0
+    else:
+        # internal snowpack estimate for the radiation correction
+        # (mtclim_vic.c:461-523 snowpack()): degree-day pack in cm driven by
+        # tmin, two passes — the second re-initialized from the mean SWE of
+        # all days sharing the start (or previous) yearday
+        swe_cm = mtclim_snowpack(prcp_cm, tmin, np.asarray(yday))
 
     tdew = tmin.copy()
     pva = supplied_vp.copy() if supplied_vp is not None else svp_mtclim(tdew)
