@@ -1,18 +1,25 @@
 """Benchmark: grid-cells x timesteps / second on one chip.
 
-Runs the flagship configuration (full-energy + snow + glacier physics,
-multi-band HRU mosaic) over a synthetic domain and measures steady-state
-throughput of the scanned step. The metric matches BASELINE.md's north star:
-grid-cells x timesteps / second per chip. vs_baseline is reported against the
-C reference's single-host multithreaded throughput once measured; until then
-we report vs the documented OpenMP-desktop scale estimate (see BASELINE.md —
-the reference publishes no numbers, so 1.0 = placeholder parity).
+Two variants are measured and reported in ONE JSON line:
+
+- light (the headline "value"): the flagship configuration — full-energy +
+  snow + glacier physics over a multi-band HRU mosaic, QUICK_FLUX ground
+  heat, daily records.  Matches the measured C-reference baseline
+  configuration in BASELINE.md.
+- heavy (the "heavy" sub-object): every expensive path at once — NF=8
+  snow-model sub-steps (surface_fluxes.c:332-339), FROZEN_SOIL + IMPLICIT
+  finite-difference soil nodes (frozen_soil.c:359), CLOSE_ENERGY canopy
+  iteration (user_def.h:36,107), DIST_PRCP wet/dry columns, BLOWING snow,
+  and the lake/wetland model (lakes.eb.c).  Proves the full program
+  compiles and runs on the chip, and records its throughput.
+
+vs_baseline is reported against the measured multithreaded C reference on
+this host (77.7k cell-steps/s, BASELINE.md).
 """
 import json
 import time
 
 import jax
-import numpy as np
 
 # Persistent compilation cache: first compile via the axon remote-compile
 # tunnel takes minutes; cached reruns are seconds.
@@ -20,22 +27,22 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main():
+def _bench(heavy: bool, n_cell: int, n_rec: int, reps: int = 3):
     import jax.numpy as jnp
 
     from __graft_entry__ import _build
     from vic_tpu.model import run
 
-    n_cell = 32768
-    n_rec = 60
-    gp, params, stack, state = _build(n_cell=n_cell, n_rec=n_rec,
-                                      full_energy=True, glacier=True)
+    gp, params, stack, state, extras = _build(
+        n_cell=n_cell, n_rec=n_rec, full_energy=True, glacier=True,
+        heavy=heavy)
 
-    # params passed as a jit ARGUMENT (closed-over arrays would be baked
-    # into the HLO as constants and overflow the remote-compile payload
-    # at production domain sizes)
-    def fwd(s, f, p):
-        s1, outs = run(s, f, p, gp)
+    # params/geom/zwt/lake passed as jit ARGUMENTS (closed-over arrays would
+    # be baked into the HLO as constants and overflow the remote-compile
+    # payload at production domain sizes)
+    def fwd(s, f, p, geom, zwt, lake):
+        s1, outs = run(s, f, p, gp, geom=geom, zwt_curves=zwt,
+                       lake_params=lake)
         # scalar digest: on the tunneled "axon" platform block_until_ready
         # does not actually block, so fetching a value that depends on
         # every output is the only honest completion barrier
@@ -43,28 +50,43 @@ def main():
         return s1, outs, dig
 
     fn = jax.jit(fwd)
+    args = (state, stack, params, extras["geom"], extras["zwt"],
+            extras["lake"])
     # compile + warmup
-    s1, outs, dig = fn(state, stack, params)
+    s1, outs, dig = fn(*args)
     float(dig)
 
     t0 = time.perf_counter()
-    reps = 3
     for _ in range(reps):
-        s1, outs, dig = fn(state, stack, params)
+        s1, outs, dig = fn(*args)
         float(dig)
     dt = (time.perf_counter() - t0) / reps
+    return n_cell * n_rec / dt
 
-    cell_steps_per_s = n_cell * n_rec / dt
+
+def main():
     # Reference baseline: no published numbers exist (BASELINE.md), so we
     # measured it — the C reference built on this host runs 77.7k
     # cell-steps/s with OpenMP across the available cores (58.6k single
     # thread), tools/oracle.py FULL_ENERGY config.
-    baseline_estimate = 7.77e4
+    baseline = 7.77e4
+
+    light = _bench(heavy=False, n_cell=32768, n_rec=60)
+    heavy = _bench(heavy=True, n_cell=32768, n_rec=12, reps=2)
+
     print(json.dumps({
         "metric": "grid-cell-timesteps/s per chip (full-energy+snow+glacier)",
-        "value": round(cell_steps_per_s, 1),
+        "value": round(light, 1),
         "unit": "cell-steps/s",
-        "vs_baseline": round(cell_steps_per_s / baseline_estimate, 2),
+        "vs_baseline": round(light / baseline, 2),
+        "heavy": {
+            "metric": ("grid-cell-timesteps/s per chip (NF=8 substeps + "
+                       "FROZEN_SOIL/IMPLICIT FD nodes + CLOSE_ENERGY + "
+                       "DIST_PRCP + BLOWING + LAKES)"),
+            "value": round(heavy, 1),
+            "unit": "cell-steps/s",
+            "vs_baseline": round(heavy / baseline, 2),
+        },
     }))
 
 

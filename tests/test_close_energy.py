@@ -58,7 +58,9 @@ def test_close_energy_changes_overstory_fluxes():
     d = np.abs(np.asarray(o_on["OUT_TCANOPY"])
                - np.asarray(o_on["OUT_AIR_TEMP"]))
     assert d.max() > 1e-4
-    # and the off path must be Tcanopy == Tair identically
+    # and the off path must be Tcanopy == Tair (OUT_AIR_TEMP is the raw
+    # cell-level echo per put_data.c:227 while OUT_TCANOPY is the f32
+    # HRU-weight aggregate, so allow aggregation rounding)
     d0 = np.abs(np.asarray(o_off["OUT_TCANOPY"])
                 - np.asarray(o_off["OUT_AIR_TEMP"]))
-    assert d0.max() == 0.0
+    assert d0.max() < 1e-4

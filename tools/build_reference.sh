@@ -96,6 +96,16 @@ EOF
 
 # ---- 2. compile-time config + Makefile ----
 sed -i 's/#define NETCDF_OUTPUT_AVAILABLE TRUE/#define NETCDF_OUTPUT_AVAILABLE FALSE/' "$BUILD/user_def.h"
+# CLOSE_ENERGY is compile-time in the reference (user_def.h:36); pass
+# CLOSE_ENERGY=TRUE to build the iterated canopy/atmosphere EB variant used
+# by the "close" oracle scenario (tools/oracle.py --config close).
+if [ "${CLOSE_ENERGY:-FALSE}" = "TRUE" ]; then
+  sed -i 's/#define CLOSE_ENERGY FALSE/#define CLOSE_ENERGY TRUE/' "$BUILD/user_def.h"
+  # upstream guards the path with "#error // CLOSE_ENERGY is an untested
+  # code path" (surface_fluxes.c:9); drop the guard line — the point of the
+  # oracle build is precisely to exercise that path.
+  sed -i '/#error \/\/ CLOSE_ENERGY is an untested code path/d' "$BUILD/surface_fluxes.c"
+fi
 sed -i 's|^NETCDF_LIBS = .*|NETCDF_LIBS = -l:libnetcdf.so.19|' "$BUILD/Makefile"
 # -O3; -include iostream replaces the std includes that <netcdf> pulled in
 sed -i 's|^CFLAGS  = -I. -g -Wall -std=c++11|CFLAGS  = -I. -O3 -Wall -std=c++11 -include iostream|' "$BUILD/Makefile"

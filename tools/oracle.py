@@ -78,6 +78,15 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
                   sides, with non-zero longitudes and time_zone_lng=-120
                   (exercises the local-solar-time shift,
                   initialize_atmos.c:125-225)
+    close         base + CLOSE_ENERGY: iterated canopy/atmosphere energy
+                  balance. Compile-time in the reference (user_def.h:36) —
+                  requires the CLOSE_ENERGY=TRUE oracle build
+                  (tools/build_reference.sh -> /tmp/vicbuild_close/vicNl);
+                  the CLOSE_ENERGY keyword in global.txt configures vic-tpu
+                  and is warn-ignored by the C side
+                  (get_global_param.c:931).
+    lakes         base + LAKES: a lake/wetland tile per cell
+                  (read_lakeparam.c grammar; lakes.eb.c energy/water budget)
     """
     n_rec = n_days * STEPS_PER_DAY
     os.makedirs(workdir, exist_ok=True)
@@ -161,6 +170,16 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
                 # PCIC tile line: class Cv (depth fract)*RZ bandIndex
                 # (read_vegparam.c:185-186)
                 f.write("1 0.70 0.30 0.60 0.70 0.40 0\n")
+
+    # ---- lake parameter file (read_lakeparam.c:89-176): per cell one
+    # header line  "gridcel lake_idx numnod mindepth wfrac depth_in
+    # rpercent"  then (LAKE_PROFILE FALSE) one line "maxdepth Cl[0]" from
+    # which the parabolic depth-area curve is computed ----
+    if config == "lakes":
+        with open(os.path.join(workdir, "lakeparam.txt"), "w") as f:
+            for ci in range(n_cell):
+                f.write(f"{ci + 1} 1 5 0.25 0.02 2.0 0.10\n")
+                f.write("5.0 0.10\n")
 
     # ---- snow band file (read_snowband.c): 3 bands for "bands" ----
     if config == "bands":
@@ -251,13 +270,21 @@ VEGPARAM_LAI FALSE
 VEGLIB {workdir}/veglib.txt
 ROOT_ZONES 2
 SNOW_BAND {3 if config == "bands" else 1}{f" {workdir}/snowband.txt" if config == "bands" else ""}
-GLACIER_ID {2 if config == "bands" else -1}
+GLACIER_ID {2 if config == "bands" else -1}{f"""
+LAKES {workdir}/lakeparam.txt
+LAKE_PROFILE FALSE""" if config == "lakes" else ""}{"""
+CLOSE_ENERGY TRUE""" if config == "close" else ""}
 RESULT_DIR {workdir}/results
 OUT_STEP 0
 SKIPYEAR 0
 COMPRESS FALSE
 OUTPUT_FORMAT ASCII
 PARALLEL_THREADS 1
+STATENAME {workdir}/results/state
+STATEYEAR {end[0]}
+STATEMONTH {end[1]:02d}
+STATEDAY {end[2]:02d}
+BINARY_STATE_FILE FALSE
 """
 # NOTE: the reference's N_OUTFILES custom-output path is unusable here:
 # parse_output_info() reallocates out_data_files through a BY-VALUE pointer
@@ -300,12 +327,50 @@ def run_vic_tpu(workdir, platform="cpu"):
     if platform:
         jax.config.update("jax_platforms", platform)
     from vic_tpu.config import parse_global_param_file
-    from vic_tpu.driver import run_simulation
+    from vic_tpu.driver import run_simulation, load_domain
 
     gp = parse_global_param_file(os.path.join(workdir, "global.txt"))
-    gp.save_state = ""   # vic-tpu state saved via its own API below
-    res = run_simulation(gp, write_output=False, progress=False)
-    return gp, res
+    gp.save_state = False   # final state compared in-memory (compare_state)
+    domain = load_domain(gp)
+    res = run_simulation(gp, domain=domain, write_output=False,
+                         progress=False)
+    return gp, res, domain
+
+
+# prognostic ModelState fields compared against the reference's saved state
+# (write_model_state.c:120-260 per-HRU sequence)
+STATE_FIELDS = ["moist", "ice", "wdew", "snow_canopy", "swq", "surf_temp",
+                "pack_temp", "surf_water", "pack_water", "density",
+                "cold_content", "node_temp", "glac_water_storage"]
+
+
+def compare_state(workdir, gp, res, domain, end_date):
+    """Final-state interchange parity: the C binary's ASCII state file
+    (write_model_state.c, saved after the last record) read back through
+    vic-tpu's own legacy reader (io/state_legacy.py) and diffed against
+    vic-tpu's in-memory final state. Proves the two sides' prognostic
+    states are interchangeable, not merely that fluxes correlate."""
+    from vic_tpu.io.state_legacy import load_state_legacy
+    path = os.path.join(workdir, "results",
+                        f"state_{end_date[0]:04d}-{end_date[1]:02d}-"
+                        f"{end_date[2]:02d}")
+    if not os.path.exists(path):
+        print(f"state parity: reference state file missing ({path})")
+        return None
+    st_ref = load_state_legacy(path, gp, domain, res.final_state,
+                               fmt="ASCII")
+    rows = []
+    for name in STATE_FIELDS:
+        a = np.asarray(getattr(st_ref, name), float)
+        b = np.asarray(getattr(res.final_state, name), float)
+        if a.shape != b.shape:
+            rows.append((name, float("nan"), float("nan"), float("nan")))
+            continue
+        d = np.abs(a - b)
+        denom = np.maximum(np.abs(a).max(), 1e-10)
+        rows.append((name, float(d.max()), float(d.max() / denom),
+                     float(np.abs(a).mean())))
+    return rows
 
 
 # default full-energy fluxes file composition (set_output_defaults.c:108-140)
@@ -322,20 +387,47 @@ SNOW_COLS = ["OUT_SWE", "OUT_SNOW_DEPTH", "OUT_SNOW_CANOPY",
              "OUT_SNOW_FLUX", "OUT_RFRZ_ENERGY", "OUT_MELT_ENERGY",
              "OUT_ADV_SENS", "OUT_LATENT_SUB", "OUT_SNOW_SURF_TEMP",
              "OUT_SNOW_PACK_TEMP", "OUT_SNOW_MELT"]
+# lake file composition (set_output_defaults.c:200-213)
+LAKE_COLS = ["OUT_LAKE_ICE_TEMP", "OUT_LAKE_ICE_HEIGHT",
+             "OUT_LAKE_ICE_FRACT", "OUT_LAKE_DEPTH", "OUT_LAKE_SURF_AREA",
+             "OUT_LAKE_VOLUME", "OUT_LAKE_SURF_TEMP", "OUT_LAKE_EVAP"]
 # variables compared (exist on both sides)
 COMPARE = ["OUT_PREC", "OUT_EVAP", "OUT_RUNOFF", "OUT_BASEFLOW", "OUT_WDEW",
            "OUT_SOIL_LIQ", "OUT_NET_SHORT", "OUT_LATENT", "OUT_SENSIBLE",
            "OUT_GRND_FLUX", "OUT_SURF_TEMP", "OUT_ALBEDO", "OUT_AIR_TEMP",
            "OUT_SWE", "OUT_SNOW_DEPTH", "OUT_SNOW_MELT"]
 
+# Upstream bug (verified by bisection on this host): when a glacier HRU
+# exists (vegClass == GLACIER_ID), the reference's surface_fluxes_glac.c
+# never writes hru.energy.Tsurf (grep: no assignment anywhere in the glacier
+# call tree; the only writers are calc_surf_energy_bal.c:580 and the lake
+# code), and energy_bal_struct has no constructor / no Tsurf init in
+# initialize_model_state.c — so put_data.c:1019-1039 aggregates
+# uninitialized heap memory into OUT_SURF_TEMP (a constant ~1e180 garbage
+# value on this host) and OUT_RAD_TEMP = (Tsurf+273.15)^4 overflows to inf.
+# Those two columns are meaningless for any run with a glacier HRU and are
+# excluded from the bands comparison.
+CONFIG_EXCLUDE = {
+    "bands": {"OUT_SURF_TEMP", "OUT_RAD_TEMP"},
+}
+# extra variables compared per config (beyond COMPARE)
+CONFIG_EXTRA = {
+    "lakes": ["OUT_LAKE_DEPTH", "OUT_LAKE_VOLUME", "OUT_LAKE_SURF_AREA",
+              "OUT_LAKE_ICE_FRACT", "OUT_LAKE_ICE_HEIGHT",
+              "OUT_LAKE_SURF_TEMP", "OUT_LAKE_EVAP"],
+}
 
-def compare_fluxes(workdir, gp, res, lats, lons):
+
+def compare_fluxes(workdir, gp, res, lats, lons, config="base"):
     """Time-series parity: reference per-cell ASCII fluxes vs vic-tpu
     aggregated outputs (the comparison role of
     tools/test script/vic_output_compare_netcdf_universal.py)."""
     ref = {}
+    prefixes = [("fluxes", FLUX_COLS), ("snow", SNOW_COLS)]
+    if config == "lakes":
+        prefixes.append(("lake", LAKE_COLS))
     for ci, (la, lo) in enumerate(zip(lats, lons)):
-        for prefix, cols in (("fluxes", FLUX_COLS), ("snow", SNOW_COLS)):
+        for prefix, cols in prefixes:
             path = os.path.join(workdir, "results",
                                 f"{prefix}_{la:.4f}_{lo:.4f}")
             table = np.loadtxt(path)
@@ -346,8 +438,25 @@ def compare_fluxes(workdir, gp, res, lats, lons):
             for name in cols:
                 ref[name][ci].append(table[:, k])
                 k += 1
+    # Layout sanity gate: OUT_PREC is an exact input echo on both sides, so
+    # per-cell totals must agree to printed precision BEFORE any correlation
+    # is trusted — catches fluxes-file column drift across configurations
+    # (set_output_defaults.c composition changing under option flags).
+    for ci in range(len(lats)):
+        ref_tot = float(np.sum(ref["OUT_PREC"][ci]))
+        tpu = np.asarray(res.outputs["OUT_PREC"], float)
+        n = min(len(ref["OUT_PREC"][ci][0]), len(tpu))
+        tpu_tot = float(np.sum(tpu[:n, ci]))
+        if not np.isclose(ref_tot, tpu_tot, rtol=1e-3, atol=0.5):
+            raise RuntimeError(
+                f"layout sanity check failed: cell {ci} PREC totals "
+                f"ref={ref_tot:.3f} vic-tpu={tpu_tot:.3f} — fluxes-file "
+                f"column layout likely drifted for this configuration")
     rows = []
-    for name in COMPARE:
+    excluded = CONFIG_EXCLUDE.get(config, set())
+    for name in COMPARE + CONFIG_EXTRA.get(config, []):
+        if name in excluded:
+            continue
         a = np.stack([np.stack(ref[name][ci], -1)
                       for ci in range(len(lats))], 1)   # [t, cell, width]
         b = np.asarray(res.outputs[name], float)
@@ -380,9 +489,14 @@ def main():
     ap.add_argument("--platform", default="cpu",
                     help="jax platform for the vic-tpu run (cpu|axon)")
     ap.add_argument("--config", default="base",
-                    choices=["base", "frozen", "bands", "dist", "mtclim"])
+                    choices=["base", "frozen", "bands", "dist", "mtclim",
+                             "close", "lakes"])
     ap.add_argument("--skip-parity", action="store_true")
     args = ap.parse_args()
+    if args.config == "close" and args.binary == "/tmp/vicbuild/vicNl":
+        # CLOSE_ENERGY is compile-time upstream; use the dedicated build
+        # (CLOSE_ENERGY=TRUE tools/build_reference.sh /tmp/vicbuild_close)
+        args.binary = "/tmp/vicbuild_close/vicNl"
 
     print(f"generating inputs: {args.cells} cells x {args.days} days "
           f"[{args.config}]")
@@ -396,19 +510,30 @@ def main():
               f"(wall {wall:.2f}s) -> {cs / mt:,.0f} cell-steps/s")
 
     t0 = time.perf_counter()
-    gp, res = run_vic_tpu(args.workdir, args.platform)
+    gp, res, domain = run_vic_tpu(args.workdir, args.platform)
     print(f"vic-tpu ({args.platform}): {res.elapsed_s:.2f}s scan "
           f"({time.perf_counter() - t0:.1f}s total with ingest/compile) -> "
           f"{cs / res.elapsed_s:,.0f} cell-steps/s")
 
     if not args.skip_parity:
-        rows = compare_fluxes(args.workdir, gp, res, lats, lons)
+        rows = compare_fluxes(args.workdir, gp, res, lats, lons,
+                              config=args.config)
         print("\nflux time-series parity (reference vs vic-tpu):")
         print(f"{'var':16s} {'max abs diff':>13s} {'max rel diff':>13s} "
               f"{'|ref| mean':>11s} {'|tpu| mean':>11s} {'corr':>7s}")
         for name, mad, mrd, am, bm, corr in rows:
             print(f"{name:16s} {mad:13.4f} {mrd:13.4%} {am:11.3f} "
                   f"{bm:11.3f} {corr:7.4f}")
+
+        end = _add_days(1990, 1, 1, args.days - 1)
+        srows = compare_state(args.workdir, gp, res, domain, end)
+        if srows:
+            print("\nfinal-state interchange parity (C ASCII state file -> "
+                  "io/state_legacy reader vs vic-tpu final state):")
+            print(f"{'field':20s} {'max abs diff':>13s} "
+                  f"{'rel to |max|':>13s} {'|ref| mean':>11s}")
+            for name, mad, rel, am in srows:
+                print(f"{name:20s} {mad:13.6f} {rel:13.4%} {am:11.3f}")
 
 
 if __name__ == "__main__":

@@ -65,9 +65,30 @@ def load_forcing(gp: GlobalParams, domain: Domain, timeaxis: TimeAxis) -> dict:
     return ingest_forcing(gp, domain, timeaxis)
 
 
+def load_state_any(path: str, gp, domain, template):
+    """Warm-start state loader dispatching on file format: vic-tpu's
+    NetCDF schema (io/state_io.py), or the reference's legacy ASCII /
+    binary formats (StateIOASCII.c / StateIOBinary.c). The reference
+    selects the format from BINARY_STATE_FILE (get_global_param.c:549);
+    we sniff the file header instead so any reference-written state file
+    warm-starts without extra configuration."""
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+    if magic[:3] == b"CDF" or magic == b"\x89HDF":
+        from .io.state_io import load_state
+        return load_state(path, gp, template=template, domain=domain)
+    from .io.state_legacy import load_state_legacy
+    # legacy ASCII opens with the save date as text ("1990 1 5\n");
+    # legacy binary with a raw little-endian int32 year
+    is_ascii = all(c in b"0123456789 \t\r\n-" for c in magic)
+    return load_state_legacy(path, gp, domain, template,
+                             fmt="ASCII" if is_ascii else "BINARY")
+
+
 def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
                    forcing: Optional[dict] = None,
                    init_state_path: Optional[str] = None,
+                   initial=None,
                    chunk_recs: int = 0, write_output: bool = True,
                    progress: bool = True, devices=None) -> RunResult:
     """Execute the full simulation. domain/forcing default to file ingest per
@@ -101,6 +122,14 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
         domain = load_domain(gp)
     if forcing is None:
         forcing = load_forcing(gp, domain, timeaxis)
+    else:
+        n_have = len(next(iter(forcing.values())))
+        if n_have != timeaxis.nrecs:
+            raise ValueError(
+                f"supplied forcing has {n_have} records but the time axis "
+                f"needs {timeaxis.nrecs} (dt={gp.dt} h after NF "
+                f"sub-stepping — pre-stacked forcing must be at SNOW_STEP "
+                f"resolution, or set snow_step == dt)")
 
     if gp.output_force:
         # OUTPUT_FORCE disaggregation-only mode (vicNl.c:420-490): run the
@@ -149,10 +178,11 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
         else None
     state = initial_state(domain, gp, surf_temp_init=air0,
                           lake_params=lake_params, geom=geom)
-    if gp.init_state and (init_state_path or gp.init_state_file):
-        from .io.state_io import load_state
-        state = load_state(init_state_path or gp.init_state_file, gp,
-                           template=state, domain=domain)
+    if initial is not None:
+        state = initial
+    elif gp.init_state and (init_state_path or gp.init_state_file):
+        state = load_state_any(init_state_path or gp.init_state_file, gp,
+                               domain, state)
 
     # ---- multi-device cell sharding (SURVEY.md SS2.9): the reference's
     # OpenMP-over-cells loop (vicNl.c:514-517) becomes a 1-D 'cell' mesh.

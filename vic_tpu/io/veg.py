@@ -167,21 +167,37 @@ def build_hru_params(cell_tiles: dict, cell_order, veglib: VegLib, gp,
                 t.cv /= cv_sum
             cv_sum = 1.0
         bare_cv = max(0.0, 1.0 - cv_sum)
+        # PCIC grammar always carries an explicit bandIndex column
+        # (read_vegparam.c:233); with SNOW_BAND=1 both interpretations are
+        # identical (AreaFract=[1.0]) and we take the explicit branch.
+        explicit = (n_band == 1
+                    or all(t.band_index >= 0 for t in tiles) and tiles)
         hrus = []
         for t in tiles:
             root = compute_root_fractions(t.zone_depth, t.zone_fract,
                                           layer_depth[ci])
             if t.band_index >= 0 and n_band > 1:
-                # PCIC: one HRU at the tile's declared band
-                # (read_vegparam.c:186-187, e.bandIndex = curBandIndex)
-                hrus.append((t, t.band_index, root, False, bare_cv))
+                # PCIC: one HRU at the tile's declared band whose Cv is the
+                # full cell-area share (read_vegparam.c:186-187,233;
+                # put_data.c:789 weights by Cv alone)
+                hrus.append((t, t.band_index, root, False, t.cv, True))
             else:
-                # classic 4.1.2: tile replicated across the snow bands
+                # classic 4.1.2: tile replicated across the snow bands; the
+                # cell share of each replica is cv * AreaFract[band]
+                # (applied in prepare_domain, which owns the band table)
                 for b in range(n_band):
-                    hrus.append((t, b, root, False, bare_cv))
+                    hrus.append((t, b, root, False, t.cv, False))
         if bare_cv > 1e-10:
-            for b in range(n_band):
-                hrus.append((None, b, np.ones(nl) / nl, True, bare_cv))
+            if explicit:
+                # artificial bare soil split equally across bands
+                # (read_vegparam.c:313-320: CvPerBand=(1-Cv_sum)/SNOW_BAND)
+                for b in range(n_band):
+                    hrus.append((None, b, np.ones(nl) / nl, True,
+                                 bare_cv / n_band, True))
+            else:
+                for b in range(n_band):
+                    hrus.append((None, b, np.ones(nl) / nl, True,
+                                 bare_cv, False))
         per_cell.append(hrus)
 
     max_hru = max((len(h) for h in per_cell), default=1)
@@ -199,23 +215,24 @@ def build_hru_params(cell_tiles: dict, cell_order, veglib: VegLib, gp,
     lag_one = P()
     fetch = np.full((n_cell, max_hru), 2500.0)
 
+    band_explicit = np.zeros((n_cell, max_hru), bool)
     for ci, hrus in enumerate(per_cell):
-        for hi, (t, b, r, bare, bare_cv) in enumerate(hrus):
+        for hi, (t, b, r, bare, cv_h, expl) in enumerate(hrus):
             mask[ci, hi] = True
             band[ci, hi] = b
             root[ci, hi] = r
+            band_explicit[ci, hi] = expl
+            cv[ci, hi] = cv_h
             if bare:
                 is_bare[ci, hi] = True
                 # bare soil uses the last veglib row semantics? reference treats
                 # artificial bare HRUs with no veg library entry; index 0 is a
                 # placeholder — physics gates on is_bare.
                 veg_idx[ci, hi] = 0
-                cv[ci, hi] = bare_cv
                 lai_vp[ci, hi] = 0.0
             else:
                 vidx = class_to_idx[t.veg_class]
                 veg_idx[ci, hi] = vidx
-                cv[ci, hi] = t.cv
                 is_glacier[ci, hi] = (t.veg_class == gp.glacier_id)
                 lai_vp[ci, hi] = (np.asarray(t.lai) if t.lai is not None
                                   else veglib.lai[vidx])
@@ -226,4 +243,5 @@ def build_hru_params(cell_tiles: dict, cell_order, veglib: VegLib, gp,
     return HruParams(mask=mask, veg_idx=veg_idx, cv=cv, band=band,
                      is_glacier=is_glacier, is_bare=is_bare, root=root,
                      lai_vegparam=lai_vp, wdmax=LAI_WATER_FACTOR * lai_vp,
-                     sigma_slope=sigma_slope, lag_one=lag_one, fetch=fetch)
+                     sigma_slope=sigma_slope, lag_one=lag_one, fetch=fetch,
+                     band_explicit=band_explicit)

@@ -1215,17 +1215,22 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             "OUT_SALBEDO": agg(snow_alb),
             "OUT_SURFT_FBFLAG": agg(fb.astype(ts.dtype)),
             "OUT_SNOWT_FBFLAG": agg(sm.surf_temp_fbflag.astype(ts.dtype)),
-            # --- met echo ---
-            "OUT_AIR_TEMP": agg(tair),
-            "OUT_WIND": agg(wind),
-            "OUT_SHORTWAVE": agg(sw_in),
-            "OUT_LONGWAVE": agg(lw_in),
-            "OUT_DENSITY": agg(air_dens),
-            "OUT_PRESSURE": agg(pressure) / 1000.0,   # kPa per reference
-            "OUT_VP": agg(vp_air) / 1000.0,
-            "OUT_VPD": agg(vpd) / 1000.0,
-            "OUT_REL_HUMID": agg(
-                100.0 * vp_air / jnp.maximum(_svp(tair), 1e-10)),
+            # --- met echo: raw CELL-level atmos values (put_data.c:227-249
+            # direct assignment from cell->atmos — no Tfactor band lapse, no
+            # HRU weighting; Tfactor only enters the physics' Tair) ---
+            "OUT_AIR_TEMP": forcing["air_temp"],
+            "OUT_WIND": jnp.maximum(
+                forcing["wind"],
+                jnp.asarray(gp.min_wind_speed, tair.dtype)),
+            "OUT_SHORTWAVE": forcing["shortwave"],
+            "OUT_LONGWAVE": forcing["longwave"],
+            "OUT_DENSITY": forcing["density"],
+            "OUT_PRESSURE": forcing["pressure"] / 1000.0,  # kPa per reference
+            "OUT_VP": forcing["vp"] / 1000.0,
+            "OUT_VPD": jnp.maximum(
+                _svp(forcing["air_temp"]) - forcing["vp"], 0.0) / 1000.0,
+            "OUT_REL_HUMID": 100.0 * forcing["vp"] / jnp.maximum(
+                _svp(forcing["air_temp"]), 1e-10),
             # --- PCIC glacier variables ---
             "OUT_GLAC_WAT_STOR": agg(glac_water_storage),
             "OUT_GLAC_AREA": agg(jnp.where(glacier, 1.0, 0.0)),

@@ -159,6 +159,12 @@ class HruParams:
     sigma_slope: np.ndarray   # [n_cell, max_hru]
     lag_one: np.ndarray
     fetch: np.ndarray
+    # True where the HRU's band came from an explicit PCIC bandIndex column
+    # (read_vegparam.c:233): its cv IS the cell-area fraction and put_data
+    # weights it by Cv alone (put_data.c:789 — no AreaFract factor).  False
+    # for classic 4.1.2-style tiles replicated across all bands, whose cell
+    # share is cv * AreaFract[band].
+    band_explicit: np.ndarray = None  # [n_cell, max_hru] bool
 
     @property
     def max_hru(self) -> int:

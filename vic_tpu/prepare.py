@@ -36,7 +36,8 @@ class DeviceParams:
     """Static per-HRU/per-cell parameters on device. [c,h] = [n_cell, max_hru]."""
     # HRU structure
     mask: jnp.ndarray            # [c,h] bool
-    weight: jnp.ndarray          # [c,h] Cv * AreaFract[band] (put_data weights)
+    weight: jnp.ndarray          # [c,h] HRU cell share (put_data.c:789 Cv;
+    #                              cv*AreaFract for classic replicated tiles)
     cv: jnp.ndarray
     is_glacier: jnp.ndarray
     is_bare: jnp.ndarray
@@ -142,9 +143,17 @@ def prepare_domain(domain: Domain, gp, dtype=jnp.float32,
     band_gather = lambda a: jnp.asarray(
         np.take_along_axis(a, hru.band, axis=1), dtype)
 
-    weight = hru.cv * np.take_along_axis(bands.area_fract, hru.band, axis=1)
-    weight = np.where(hru.mask, weight, 0.0)
-    mask = hru.mask.copy()
+    # Cell-aggregation weight of each HRU (put_data.c:789: AreaFactor =
+    # Cv * mu * TreeAdjust * lakefactor — NO AreaFract factor; band
+    # AreaFract only gates participation, put_data.c:282-289 and
+    # full_energy.c:389).  Explicit-bandIndex (PCIC) HRUs carry their full
+    # cell share in cv; classic replicated tiles carry cv*AreaFract[band].
+    band_af = np.take_along_axis(bands.area_fract, hru.band, axis=1)
+    explicit = (hru.band_explicit if hru.band_explicit is not None
+                else np.zeros_like(hru.mask))
+    weight = hru.cv * np.where(explicit, 1.0, band_af)
+    weight = np.where(hru.mask & (band_af > 0.0), weight, 0.0)
+    mask = hru.mask & (band_af > 0.0)
 
     if above_treeline is not None:
         overstory_hru = np.where(hru.is_bare | hru.is_glacier, False,
