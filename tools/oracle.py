@@ -152,6 +152,15 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
                 + [0.3] * 12 + [0.002] * 12 + [0.0] * 12 \
                 + [10.0, 100.0, 0.5, 0.5, 0.0]
             f.write(" ".join(str(v) for v in row) + "\n")
+        if config == "lakes":
+            # a second grass-like class so the wetland tile (class 1 =
+            # lake_idx) can be small: the reference's put_data lake
+            # weighting (Cv*Clake over mm-per-lake-area fluxes) is only
+            # self-consistent when the wetland Cv equals Cl[0]
+            row = [3, 0, 30.0, 110.0] + [f"{v:.3f}" for v in lai] \
+                + [0.22] * 12 + [0.06] * 12 + [0.35] * 12 \
+                + [10.0, 100.0, 0.5, 0.5, 0.2]
+            f.write(" ".join(str(v) for v in row) + "\n")
 
     # ---- veg param: one grass tile per cell, Cv=0.7, 2 root zones ----
     with open(os.path.join(workdir, "vegparam.txt"), "w") as f:
@@ -165,6 +174,13 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
                 f.write("1 0.25 0.30 0.60 0.70 0.40 1\n")
                 f.write("1 0.20 0.30 0.60 0.70 0.40 2\n")
                 f.write("2 0.25 0.50 0.50 0.50 0.50 2\n")
+            elif config == "lakes":
+                # wetland tile (class 1 == lake_idx) FIRST with Cv == Cl[0]
+                # so the reference's Cv*Clake lake weighting is consistent
+                # (and vic-tpu's leading-tile wetland stand-in matches)
+                f.write(f"{ci + 1} 2\n")
+                f.write("1 0.10 0.30 0.60 0.70 0.40 0\n")
+                f.write("3 0.60 0.30 0.60 0.70 0.40 0\n")
             else:
                 f.write(f"{ci + 1} 1\n")
                 # PCIC tile line: class Cv (depth fract)*RZ bandIndex

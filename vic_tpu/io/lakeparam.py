@@ -60,27 +60,36 @@ def read_lakeparam_file(path: str, soil, gp) -> LakeParams:
             wfrac[ci] = float(nxt())
             depth_in[ci] = float(nxt())
             rpercent[ci] = float(nxt())
+            zz = np.zeros(nn + 1)
+            bb = np.zeros(nn + 1)
             if gp.lake_profile:
-                zz = np.zeros(nn)
-                cc = np.zeros(nn)
+                # numnod (z, Cl) pairs; bottom closed at zero
+                # (read_lakeparam.c:205-221)
                 for k in range(nn):
                     zz[k] = float(nxt())
-                    cc[k] = float(nxt())
+                    bb[k] = float(nxt()) * soil.cell_area[ci]
             else:
+                # single (maxdepth, Cl[0]) pair; area-depth curve
+                # basin[i] = PI*(pow(z/maxdepth, BETA)*radius)^2 with
+                # BETA=0.001 (LAKE.h:41) — a near-cylindrical basin that
+                # closes to a point only at the bottom node
+                # (read_lakeparam.c:164-203)
                 z0 = float(nxt())
                 c0 = float(nxt())
-                zz = z0 * (1.0 - np.arange(nn) / nn)
-                cc = c0 * (1.0 - np.arange(nn) / nn)
+                basin0 = c0 * soil.cell_area[ci]
+                radius = np.sqrt(basin0 / np.pi)
+                tempdz = z0 / nn
+                zz[0] = z0
+                bb[0] = basin0
+                for k in range(1, nn + 1):
+                    zz[k] = max((nn - k) * tempdz, 0.0)
+                    x = (zz[k] / z0) ** 0.001 * radius if zz[k] > 0 else 0.0
+                    bb[k] = np.pi * x * x
             has_lake[ci] = True
             numnod[ci] = nn
-            cl0[ci] = cc[0]
-            area = cc * soil.cell_area[ci]
-            z[ci, :nn] = zz
-            basin[ci, :nn] = area
-            # pad profile down to a point at the bottom
-            for k in range(nn, NN + 1):
-                z[ci, k] = 0.0
-                basin[ci, k] = 0.0
+            cl0[ci] = bb[0] / soil.cell_area[ci]
+            z[ci, :nn + 1] = zz
+            basin[ci, :nn + 1] = bb
     except StopIteration:
         pass
 
@@ -89,8 +98,16 @@ def read_lakeparam_file(path: str, soil, gp) -> LakeParams:
     for k in range(NN):
         vol += (z[:, k] - z[:, k + 1]).clip(0) * (basin[:, k]
                                                   + basin[:, k + 1]) / 2.0
+    lp = LakeParams(
+        has_lake=has_lake, numnod=numnod, z=z, basin=basin,
+        mindepth=mindepth, minvolume=np.zeros(n_cell), maxvolume=vol,
+        maxdepth=maxdepth, wfrac=wfrac, depth_in=depth_in,
+        rpercent=rpercent, cl0=cl0)
+    # volume below the outflow sill (read_lakeparam.c:229-233 get_volume)
+    from ..physics.lake import volume_from_depth
+    minvol = np.asarray(volume_from_depth(lp, np.asarray(mindepth)))
     return LakeParams(
         has_lake=has_lake, numnod=numnod, z=z, basin=basin,
-        mindepth=mindepth, minvolume=vol * 0.0, maxvolume=vol,
+        mindepth=mindepth, minvolume=minvol, maxvolume=vol,
         maxdepth=maxdepth, wfrac=wfrac, depth_in=depth_in,
         rpercent=rpercent, cl0=cl0)

@@ -175,6 +175,16 @@ class _BinaryReader:
         self.ints(1)
 
 
+
+def _hru_veg_id(hru, veglib, ci, h):
+    """State-file veg id of an HRU: its vegClass, or for artificial bare
+    soil the veg-library entry count (read_vegparam.c:318 bareSoilVeg.
+    vegClass = num_veg_types; the library here carries 4 appended PET
+    reference surfaces that the reference's num_veg_types excludes)."""
+    if bool(hru.is_bare[ci, h]):
+        return int(len(veglib.veg_class) - 4)
+    return int(veglib.veg_class[hru.veg_idx[ci, h]])
+
 def _gmb_terms(gmb, ci):
     if gmb is None:
         return (0.0, 0.0, 0.0, 0.0)
@@ -240,7 +250,8 @@ def write_state_legacy(path: str, state: ModelState, gp, domain, date=None,
         w.flts(*_gmb_terms(gmb, ci))
 
         for h in hrus:
-            w.ints(int(hru.band[ci, h]), int(veg_class[hru.veg_idx[ci, h]]))
+            w.ints(int(hru.band[ci, h]),
+                   _hru_veg_id(hru, domain.veglib, ci, h))
             w.newline()
             for dist in range(ndist):
                 # dist 0 = WET column, dist 1 = DRY column
@@ -364,13 +375,12 @@ def load_state_legacy(path: str, gp, domain, template: ModelState,
                 f"{len(hrus)}")
         for h in hrus:
             band_f, veg_f = r.ints(2)
-            if band_f != int(hru.band[ci, h]) or \
-                    veg_f != int(veg_class[hru.veg_idx[ci, h]]):
+            want_veg = _hru_veg_id(hru, domain.veglib, ci, h)
+            if band_f != int(hru.band[ci, h]) or veg_f != want_veg:
                 raise ValueError(
                     f"cell {ci} HRU {h}: state file (veg={veg_f}, "
                     f"band={band_f}) does not match domain (veg="
-                    f"{int(veg_class[hru.veg_idx[ci, h]])}, band="
-                    f"{int(hru.band[ci, h])})")
+                    f"{want_veg}, band={int(hru.band[ci, h])})")
             for dist in range(ndist):
                 moist = r.dbls(nl)
                 ice = r.dbls(nl)

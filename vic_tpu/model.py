@@ -412,7 +412,13 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 pack_water=state.pack_water, snow_depth=state.depth,
                 snow_density=state.density, coldcontent=state.cold_content,
                 rainfall_mm=rainfall, snowfall_mm=snowfall_ground,
-                air_temp=tair, tcanopy=tca, tgrnd=tgrnd_eff, wind=wind,
+                air_temp=tair, tcanopy=tca, tgrnd=tgrnd_eff,
+                # snow-surface wind: the log-profile speed at the 2m snow
+                # reference level (CalcAerodynamic.c:130,190 — the EB's
+                # stability correction uses wind_speed.snowCovered, NOT the
+                # raw forcing wind; the raw value biased stable-regime Ri
+                # low and warmed the pack)
+                wind=aero.wind.snow_covered,
                 vp_air=vp_air, vpd=vpd, air_dens=air_dens, pressure=pressure,
                 longwave_in=lw_in, net_short=net_short_snow, lv=le,
                 ra=aero.resist.snow_covered,
@@ -446,7 +452,8 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             # (surface_fluxes_glac.c:311 solve_glacier on snow-free ice)
             glac = glacier_ablation(
                 tair=tair, net_short=(1.0 - B(p.glac_albedo)) * sw_in,
-                longwave_in=lw_in, wind=wind, vp_air=vp_air, vpd=vpd,
+                longwave_in=lw_in, wind=aero.wind.glacier,
+                vp_air=vp_air, vpd=vpd,
                 air_dens=air_dens, pressure=pressure, le=le,
                 rain_mm=jnp.where(jnp.logical_and(glacier, ~snow_present),
                                   rainfall, 0.0),
@@ -841,15 +848,16 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 melting=state.lake_melting)
             # bottom-layer relative moisture for the lake-bed ARNO curve
             # (lakes.eb.c:2104-2115: liq = max_moist - WET-lane soil_ice,
-            # rel_moist = (liq - resid)/(max_moist - resid))
+            # rel_moist = (liq - resid)/(max_moist - resid)), per LANE —
+            # water_balance runs once per HRU and reads each HRU's own ice
             mm_bot = jnp.asarray(p.max_moist, cell_runoff.dtype)[..., -1]
             resid_bot = (jnp.asarray(p.resid_moist,
                                      cell_runoff.dtype)[..., -1]
                          * jnp.asarray(p.depth,
                                        cell_runoff.dtype)[..., -1] * 1000.0)
-            liq_bot = mm_bot - take_wl(ice_new)[..., -1]
-            wl_rel_moist = (liq_bot - resid_bot) / jnp.maximum(
-                mm_bot - resid_bot, 1.0)
+            liq_bot = mm_bot[:, None] - ice_new[..., -1]
+            wl_rel_moist = (liq_bot - resid_bot[:, None]) / jnp.maximum(
+                mm_bot - resid_bot, 1.0)[:, None]
             lres = lake_step(
                 lp_l, lstate,
                 tair=tair_c, wind=forcing["wind"],
@@ -870,34 +878,137 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 alb_thaw_b=jnp.asarray(p.snow_alb_thaw_b),
                 ds=p.ds, dsmax=p.dsmax, ws_arno=p.ws, c_expt=p.c_expt,
                 dt_sec=dt_sec, blowing=gp.blowing,
-                wetland_moist=take_wl(dwl(moist_wet_f, moist_dry_f)),
+                wetland_moist=dwl(moist_wet_f, moist_dry_f),
                 wetland_max_moist=jnp.asarray(p.max_moist,
                                               cell_runoff.dtype),
-                wetland_rel_moist=wl_rel_moist)
-            # wetland recharge: saturate the flooded fringe's soil from lake
-            # water (lakes.eb.c:2046-2096); applied to both moisture columns
-            dmo = lres.wetland_dmoist_mm
-            add = wl_mask[..., None] * dmo[:, None, :]
-            moist_wet_f = moist_wet_f + add
-            moist_dry_f = moist_dry_f + add
-            recharge_lane_mm = wl_mask * dmo.sum(-1)[:, None]
+                wetland_rel_moist=wl_rel_moist, lane_mask=p.mask)
+            # lake-fraction bookkeeping for the advection + weighting below
+            from .physics.lake import area_from_depth, depth_from_volume
+            basin0_w = jnp.asarray(lp_l.basin, cell_runoff.dtype)[..., 0]
+            has_l = jnp.asarray(lp_l.has_lake)
+            # start-of-step lake fraction = last step's final sarea
+            # (full_energy.c:240: lake_var.sarea/basin[0], where sarea is
+            # max(liquid area, ice area) from the previous water_balance)
+            liq_pre = jnp.maximum(lstate.volume - lstate.ice_water_eq, 0.0)
+            sarea_pre = jnp.maximum(
+                area_from_depth(lp_l, depth_from_volume(lp_l, liq_pre)),
+                lstate.ice_area)
+            clake_pre = jnp.where(has_l, jnp.clip(
+                sarea_pre / jnp.maximum(basin0_w, 1.0), 0.0, 1.0), 0.0)
+            clake_post = jnp.where(has_l, jnp.clip(
+                lres.sarea / jnp.maximum(basin0_w, 1.0), 0.0, 1.0), 0.0)
+            maxnf = jnp.where(has_l, jnp.clip(
+                lres.max_newfraction, 0.0, 1.0), 0.0)
+
+            # ---- per-lane storage advection for the changing lake area
+            # (water_balance runs once per HRU and its
+            # advect_soil_veg_storage / advect_snow_storage act on THAT
+            # HRU's soil/snow/dew — ALL lanes, not just the wetland tile;
+            # lakes.eb.c:2307-2334,2374-2533) ----
+            # 1. the per-lane flooding recharge delta (mm over
+            #    (1-lakefrac)) saturates the newly-flooded fringe; excess
+            #    spills down then up (the reference's residual-spill-to-
+            #    baseflow at lakes.eb.c:2436-2439 adds raw m^3 into a mm
+            #    variable and is unreachable with room-capped deltas —
+            #    intentionally not replicated);
+            # 2. each lane's column is blended with the SATURATED strip
+            #    the lake exposed (or minus the strip it flooded):
+            #    m = (m*(1-lf) + max_moist*(lf-nf_h)) / (1-nf_h).
+            mm_max = jnp.asarray(p.max_moist, cell_runoff.dtype)[:, None, :]
+            dmo = lres.wetland_dmoist_mm            # [c, lane, nl]
+            m0_lane = dwl(moist_wet_f, moist_dry_f)
+            m1 = m0_lane + dmo
+            nlay = m1.shape[-1]
+            for _l in range(nlay - 1):
+                exc = jnp.maximum(m1[..., _l] - mm_max[..., _l], 0.0)
+                m1 = m1.at[..., _l].add(-exc).at[..., _l + 1].add(exc)
+            for _l in range(nlay - 1, 0, -1):
+                exc = jnp.maximum(m1[..., _l] - mm_max[..., _l], 0.0)
+                m1 = m1.at[..., _l].add(-exc).at[..., _l - 1].add(exc)
+            m1 = m1.at[..., 0].min(mm_max[..., 0])
+            lf = clake_pre[:, None]                 # pre-step lakefrac
+            nf_l = jnp.where(has_l[:, None], lres.lane_nf, 0.0)
+            maxnf_l = jnp.where(has_l[:, None], lres.lane_maxnf, 0.0)
+            one_m_nf = jnp.maximum(1.0 - nf_l, 1e-6)
+            m_adv = jnp.clip(
+                (m1 * (1.0 - lf)[..., None]
+                 + mm_max * (lf - nf_l)[..., None]) / one_m_nf[..., None],
+                0.0, mm_max)
+            live_l = jnp.logical_and(jnp.logical_and(has_l[:, None],
+                                                     lf < 1.0), p.mask)
+            dmoist_total = jnp.where(live_l[..., None], m_adv - m0_lane,
+                                     0.0)
+            moist_wet_f = moist_wet_f + dmoist_total
+            moist_dry_f = moist_dry_f + dmoist_total
+            # per-lane snow rescale (advect_snow_storage: shrink by
+            # (1-max_newfraction) when the lake grew, stretch by
+            # (1-lakefrac) when it receded, both onto (1-newfraction))
+            grow_l = maxnf_l > lf
+            sscale_lane = jnp.where(
+                live_l,
+                jnp.where(grow_l, 1.0 - maxnf_l, 1.0 - lf) / one_m_nf,
+                1.0)
+            snow_adv_mm = (swq + snow_canopy_new) * (sscale_lane - 1.0) \
+                * 1000.0
+            swq = swq * sscale_lane
+            surf_water = surf_water * sscale_lane
+            pack_water = pack_water * sscale_lane
+            depth = depth * sscale_lane
+            snow_canopy_new = snow_canopy_new * sscale_lane
+            # Wdew rescale (advect_soil_veg_storage:2460-2469)
+            wdew_adv_mm = wdew_new * (sscale_lane - 1.0)
+            wdew_new = wdew_new * sscale_lane
+            # closure credit: all advected water is exchanged with the lake
+            # (the lake books its own residual; lakes.eb.c comment at 2030)
+            recharge_lane_mm = (dmoist_total.sum(-1)
+                                + snow_adv_mm + wdew_adv_mm)
             to_mm = 1000.0 / cell_area
+            # put_data weighting of the lake's own fluxes: lakes.eb.c:2337-
+            # 2343 stores runoff/baseflow/evap as mm over the CURRENT lake
+            # area (runoff_out*1000/(newfraction*basin[0])), and put_data.c
+            # :405-413,789 aggregates them with AreaFactor = Cv*Clake where
+            # Clake = sarea/basin[0]. The net cell contribution is therefore
+            # flux_m3 * 1000/sarea * Cv*Clake = flux_m3*to_mm * (Cv/Cl[0]) —
+            # faithful to the reference, self-consistent only when the
+            # wetland tile's Cv equals the lake basin fraction Cl[0].
+            lake_w = wl_w * clake_post          # Cv*Clake (put_data.c:789)
+            over_lake_mm = 1000.0 / jnp.maximum(lres.sarea, 1.0)
             cell_runoff = ((1.0 - rperc) * oth_ro
-                           + lres.runoff_out_m3 * to_mm)
+                           + lres.runoff_out_m3 * over_lake_mm * lake_w)
             cell_baseflow = ((1.0 - rperc) * oth_bf
-                             + lres.baseflow_out_m3 * to_mm)
-            lake_evap_mm = lres.evap_m3 * to_mm
+                             + lres.baseflow_out_m3 * over_lake_mm * lake_w)
+            lake_evap_mm = lres.evap_m3 * over_lake_mm * lake_w
+            # OUT_PREC with lakes (full_energy.c:240-243,781): HRU precip
+            # accumulates with the wetland Cv scaled by the PRE-step lake
+            # fraction, plus the lake's own precip at Cl[0]*lakefrac_pre;
+            # out_rain/out_snow get NO lake term (upstream quirk).
+            w_pre = w * (1.0 - wl_mask * clake_pre[:, None])
+            cl0 = basin0_w / jnp.maximum(cell_area, 1.0)
+            # gauge correction factors are cell-independent 1.0 unless
+            # CORRPREC; the reference applies them here too
+            # (full_energy.c:779-781)
+            lake_prec_add = ((forcing["prec"] - rainonly_c)
+                             * jnp.asarray(p.padj_s)
+                             + rainonly_c * jnp.asarray(p.padj_r)
+                             ) * cl0 * clake_pre
+            prec_cell = (out_prec * w_pre).sum(-1) + lake_prec_add
+            rain_cell = (out_rain * w_pre).sum(-1)
+            snow_cell = (out_snow * w_pre).sum(-1)
             lake_out = {
                 "OUT_LAKE_DEPTH": lres.depth,
                 "OUT_LAKE_VOLUME": lres.state.volume,
                 "OUT_LAKE_SURF_AREA": lres.sarea,
                 "OUT_LAKE_ICE_FRACT": lres.ice_fract,
-                "OUT_LAKE_ICE_HEIGHT": lres.state.ice_height * 100.0,
-                "OUT_LAKE_SURF_TEMP": lres.surf_temp,
+                # put_data.c:447 writes lake_var.hice RAW (meters) despite the
+                # [cm] unit claim in output_list_utils.c:97 — replicate
+                "OUT_LAKE_ICE_HEIGHT": lres.state.ice_height,
+                # put_data.c:475 reads lake_var.temp[0] — the top WATER
+                # layer temperature, not a coverage blend over ice/snow
+                "OUT_LAKE_SURF_TEMP": lres.state.temp[..., 0],
                 "OUT_LAKE_EVAP": lake_evap_mm,
                 "OUT_LAKE_RCHRG": lres.recharge_m3 * to_mm,
                 # extended lake diagnostics (put_data.c lake section)
-                "OUT_LAKE_AREA_FRAC": lres.sarea / cell_area,
+                "OUT_LAKE_AREA_FRAC": lake_w,   # Cv*Clake (put_data.c:463)
                 # lake ice expressed as the reference does: per-ice-area
                 # water equivalent scaled by ice/water density
                 # (put_data.c OUT_LAKE_ICE formula)
@@ -962,20 +1073,17 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 lake_salbedo=lres.state.salbedo,
                 lake_last_snow=lres.state.last_snow,
                 lake_melting=lres.state.melting)
-            # flooded-fringe output weighting (put_data.c:282-330
-            # lakefactor): the open-water area displaces the wetland tile
-            # in all cell aggregates, so land variables average over the
-            # un-flooded fraction while the lake's own fluxes (evap,
-            # outflow) cover the flooded part. Closure accounting above
-            # stays on the static mosaic — the per-lane budgets are
+            # flooded-fringe output weighting (put_data.c:195-196,271,789):
+            # Clake = sarea/basin[0]; the wetland HRU aggregates at
+            # Cv*(1-Clake) while the lake's own wb/eb terms enter at
+            # Cv*Clake (lake_w above). Closure accounting above stays on
+            # the static mosaic — the per-lane budgets are
             # weight-independent.
-            lakefrac_c = jnp.clip(
-                lres.sarea / jnp.maximum(cell_area, 1.0), 0.0, 1.0)
-            w_wl = (w * wl_mask).sum(-1)
-            w = w - wl_mask * jnp.minimum(lakefrac_c, w_wl)[:, None]
+            w = w * (1.0 - wl_mask * clake_post[:, None])
             agg = lambda x: (x * w).sum(-1)
         else:
             lake_evap_mm = jnp.zeros_like(cell_runoff)
+            prec_cell = rain_cell = snow_cell = None
             lake_state = dict(
                 lake_volume=state.lake_volume, lake_temp=state.lake_temp,
                 lake_ice_we=state.lake_ice_we,
@@ -1134,9 +1242,15 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             "OUT_SOIL_WET": soil_wet,
             "OUT_ASAT": agg(dw(ro.asat, ro_d.asat)),
             # --- water fluxes (mm/step) ---
-            "OUT_PREC": agg(out_prec),
-            "OUT_RAINF": agg(out_rain),
-            "OUT_SNOWF": agg(out_snow),
+            # with LAKES the precip echoes use the PRE-step lake-scaled
+            # weights + the lake's own precip term (full_energy.c:240-243,
+            # 429-431,781); rain/snow echoes get no lake term upstream
+            "OUT_PREC": prec_cell if prec_cell is not None
+            else agg(out_prec),
+            "OUT_RAINF": rain_cell if rain_cell is not None
+            else agg(out_rain),
+            "OUT_SNOWF": snow_cell if snow_cell is not None
+            else agg(out_snow),
             "OUT_EVAP": agg(total_evap) + lake_evap_mm,
             "OUT_EVAP_BARE": agg(jnp.where(bare, evap_sfree, 0.0)),
             "OUT_EVAP_CANOP": agg(jnp.where(
