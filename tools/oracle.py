@@ -152,6 +152,15 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
                 + [0.3] * 12 + [0.002] * 12 + [0.0] * 12 \
                 + [10.0, 100.0, 0.5, 0.5, 0.0]
             f.write(" ".join(str(v) for v in row) + "\n")
+        if config == "close":
+            # overstory conifer class — CLOSE_ENERGY's Tcanopy iteration
+            # only engages for overstory tiles holding canopy snow
+            # (surface_fluxes.c:598-604 'iter_snow.snow && overstory')
+            lai_ev = [4.0] * 12
+            row = [4, 1, 60.0, 250.0] + [f"{v:.3f}" for v in lai_ev] \
+                + [0.12] * 12 + [1.2] * 12 + [8.0] * 12 \
+                + [15.0, 30.0, 0.5, 0.6, 0.2]
+            f.write(" ".join(str(v) for v in row) + "\n")
         if config == "lakes":
             # a second grass-like class so the wetland tile (class 1 =
             # lake_idx) can be small: the reference's put_data lake
@@ -174,6 +183,11 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
                 f.write("1 0.25 0.30 0.60 0.70 0.40 1\n")
                 f.write("1 0.20 0.30 0.60 0.70 0.40 2\n")
                 f.write("2 0.25 0.50 0.50 0.50 0.50 2\n")
+            elif config == "close":
+                # grass + overstory conifer (canopy snow -> atmos EB loop)
+                f.write(f"{ci + 1} 2\n")
+                f.write("1 0.40 0.30 0.60 0.70 0.40 0\n")
+                f.write("4 0.40 0.50 0.50 0.50 0.50 0\n")
             elif config == "lakes":
                 # wetland tile (class 1 == lake_idx) FIRST with Cv == Cl[0]
                 # so the reference's Cv*Clake lake weighting is consistent
