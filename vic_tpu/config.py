@@ -191,6 +191,12 @@ class GlobalParams:
     # ----- numerics (TPU-native knobs; not in the reference grammar) -----
     brent_maxiter: int = 60            # fixed iteration budget for batched Brent
     soil_sweep_maxiter: int = 30       # explicit node-sweep budget (ref MAXIT=1000, tol 1e-2)
+    # QUICK_FLUX FALSE: evaluate the surface-EB Brent residual on an affine
+    # (two-probe) model of the node-profile response instead of re-running
+    # the Gauss-Seidel sweep per candidate Ts (the reference re-solves per
+    # evaluation, func_surf_energy_bal.c:190-228); the quirk-faithful solve
+    # still runs once at the accepted root. FALSE = the literal nesting.
+    fd_affine_residual: bool = True
     dtype: str = "float32"
 
     @property
@@ -223,6 +229,7 @@ _BOOL_KEYS = {
     "PRT_HEADER": "prt_header", "PRT_SNOW_BAND": "prt_snow_band",
     "JULY_TAVG_SUPPLIED": "july_tavg_supplied", "ARC_SOIL": "arc_soil",
     "CLOSE_ENERGY": "close_energy",
+    "FD_AFFINE_RESIDUAL": "fd_affine_residual",
 }
 
 _INT_KEYS = {

@@ -312,12 +312,18 @@ def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
                              geom: NodeGeometry, params, dt_sec,
                              noflux: bool, exp_trans: bool, frozen: bool,
                              max_sweeps: int = 30, bisect_iters: int = 24,
-                             ice_quirk: bool = True) -> ProfileResult:
+                             ice_quirk: bool = True,
+                             t_start=None) -> ProfileResult:
     """Gauss-Seidel node sweep (frozen_soil.c:305-468 calc_soil_thermal_fluxes;
     the scheme is backward-Euler in time, iterated Gauss-Seidel in space).
 
     t0: [c,h,nn] previous temps; surf_temp: [c,h] boundary condition (node 0).
     kappa/cs/moist_node/ice0_node: [c,h,nn] at the OLD temperatures.
+    t_start: optional warm-start ITERATE (e.g. the affine-interpolated
+    profile the surface-EB Brent converged on) — cuts the sweep count when
+    close to the fixed point.  The reference's revert-on-nonconvergence
+    target and the post-sweep cold-nose anchor stay at the OLD temperatures
+    regardless (frozen_soil.c:470-494 semantics are t0-relative).
 
     REFERENCE QUIRK (ice_quirk=True, the parity default): frozen_soil.c:114-115
     passes the per-LAYER soil_con->max_moist/bubble/expt arrays into the node
@@ -436,24 +442,23 @@ def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
                 # to MAXTRIES=5 times exactly like root_brent.c:183-190 —
                 # the first bracketing pair wins; with the reference ice
                 # quirk the E*(0-ice0) offset usually leaves every pair
-                # unbracketed and the node TFALLBACKs to T0
-                deltas = [c.SOIL_DT + 10.0 * k for k in range(6)]
-                lo = hi = f_lo = None
-                bracketed = None
-                for dlt in deltas:
-                    lo_k = t0[..., j] - dlt
-                    hi_k = t0[..., j] + dlt
-                    f_lo_k = node_residual(lo_k, j, T, j + 1, j - 1)
-                    f_hi_k = node_residual(hi_k, j, T, j + 1, j - 1)
-                    br_k = f_lo_k * f_hi_k < 0.0
-                    if lo is None:
-                        lo, hi, f_lo, bracketed = lo_k, hi_k, f_lo_k, br_k
-                    else:
-                        take = jnp.logical_and(~bracketed, br_k)
-                        lo = jnp.where(take, lo_k, lo)
-                        hi = jnp.where(take, hi_k, hi)
-                        f_lo = jnp.where(take, f_lo_k, f_lo)
-                        bracketed = jnp.logical_or(bracketed, br_k)
+                # unbracketed and the node TFALLBACKs to T0.
+                # All 6 candidate pairs are evaluated in ONE stacked residual
+                # call (leading axis = expansion level): 12 sequential tiny
+                # kernels -> 2 vectorized ones; this sits inside the
+                # surface-EB Brent x sweep nest, so sequential depth is the
+                # cost that matters on TPU.
+                deltas = jnp.asarray([c.SOIL_DT + 10.0 * k for k in range(6)],
+                                     T.dtype).reshape((6,) + (1,) * T[..., j].ndim)
+                los = t0[None, ..., j] - deltas
+                his = t0[None, ..., j] + deltas
+                f_los = node_residual(los, j, T, j + 1, j - 1)
+                f_his = node_residual(his, j, T, j + 1, j - 1)
+                br = f_los * f_his < 0.0
+                first = jnp.argmax(br, axis=0)[None]
+                pick = lambda a: jnp.take_along_axis(a, first, 0)[0]
+                lo, hi, f_lo = pick(los), pick(his), pick(f_los)
+                bracketed = br.any(axis=0)
 
                 def bis_body(_, carry):
                     lo_, hi_, flo_ = carry
@@ -500,6 +505,7 @@ def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
         return T, fb, maxdiff
 
     T_init = t0.at[..., 0].set(surf_temp)
+    T_start = T_init if t_start is None else t_start.at[..., 0].set(surf_temp)
 
     def cond(carry):
         _, i, maxdiff, _ = carry
@@ -511,7 +517,7 @@ def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
         return T, i + 1, maxdiff, fb_tot + fb
 
     T, iters, lastdiff, fb = jax.lax.while_loop(
-        cond, body, (T_init, jnp.int32(0),
+        cond, body, (T_start, jnp.int32(0),
                      jnp.ones(t0.shape[:-1], t0.dtype),
                      jnp.zeros(t0.shape, jnp.int32)))
 

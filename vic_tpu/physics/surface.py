@@ -86,7 +86,8 @@ def surf_energy_terms(
         grnd_flux_type: int = 1, frozen_soil: bool = False,
         compute_evap: bool = True, dist_dry: dict = None,
         mu_wet=None, evap_pre: dict = None,
-        evap_pre_dry: dict = None, fd_solve=None) -> SurfEBResult:
+        evap_pre_dry: dict = None, fd_solve=None, fd_interp=None,
+        fd_given=None) -> SurfEBResult:
     """Evaluate every term of the surface energy balance at candidate Ts.
 
     kappa_snow/tsnow_surf: pack->soil conduction coupling for snow-covered
@@ -111,17 +112,37 @@ def surf_energy_terms(
     cover_atten = snow_coverage + (1.0 - snow_coverage) * surf_atten
     t_nodes = None
     node_fbcount = None
-    if fd_solve is not None:
-        # finite-difference path (QUICK_FLUX FALSE): solve the full node
-        # profile WITH THIS CANDIDATE Ts as the node-0 Dirichlet BC, every
-        # residual evaluation (func_surf_energy_bal.c:185-228: T_node[0] =
-        # TMean; solve_T_profile[_implicit]; T1 = Tnew_node[1]); grnd_flux
-        # from the node-1/2 gradient — no exp(-D1/dp) damping term here
+    if fd_given is not None or fd_interp is not None or fd_solve is not None:
+        # finite-difference path (QUICK_FLUX FALSE): the node profile with
+        # THIS CANDIDATE Ts as the node-0 Dirichlet BC
+        # (func_surf_energy_bal.c:185-228: T_node[0] = TMean;
+        # solve_T_profile[_implicit]; T1 = Tnew_node[1]); grnd_flux from the
+        # node-1/2 gradient — no exp(-D1/dp) damping term here
         # (func_surf_energy_bal.c:234-240), D1/D2 are node spacings
-        # (calc_surf_energy_bal.c:242-243)
-        prof = fd_solve(tmean)
-        t_nodes = prof.temp
-        node_fbcount = prof.fbcount
+        # (calc_surf_energy_bal.c:242-243).
+        # Three ways to obtain the profile, by cost:
+        #  - fd_given: a ProfileResult already solved at this Ts (the final
+        #    evaluation after the root is accepted);
+        #  - fd_interp: (ts_a, T_a, ts_b, T_b) — affine interpolation of two
+        #    reference solves. With the parity-default ice quirk the solved
+        #    profile IS affine in the boundary condition wherever node ice
+        #    is zero or the node TFALLBACKs to its old temperature (both
+        #    make T_j constant-or-linear in Ts), so inside the Brent this is
+        #    exact for the dominant lanes and O(bracket^2) elsewhere —
+        #    at ~1/1000 the sequential depth of a nested sweep per residual;
+        #  - fd_solve: the full quirk-faithful Gauss-Seidel solve
+        #    (frozen_soil.solve_t_profile_explicit) per evaluation.
+        if fd_given is not None:
+            t_nodes = fd_given.temp
+            node_fbcount = fd_given.fbcount
+        elif fd_interp is not None:
+            ts_a, t_a, ts_b, t_b = fd_interp
+            wq = ((tmean - ts_a) / (ts_b - ts_a))[..., None]
+            t_nodes = t_a + wq * (t_b - t_a)
+        else:
+            prof = fd_solve(tmean)
+            t_nodes = prof.temp
+            node_fbcount = prof.fbcount
         t1 = t_nodes[..., 1]
         if grnd_flux_type == 0:  # GF_406
             grnd_flux = cover_atten * (kappa1 / d1 * (t1 - tmean))
