@@ -199,6 +199,26 @@ private:""",
   void write_data_one_cell(std::vector<OutputData*>& all_out_data, out_data_file_struct *out_data_files_template, const int chunk_start_rec, const int num_recs, const ProgramState* state) {}
 
 private:""")
+# 6. restore the classic BINARY per-cell output path: the fork orphaned it
+#    (make_out_files names files only for ASCII; write_header is defined in
+#    WriteOutputBinary.c:118 but never called anywhere) — re-wire both per
+#    classic VIC 4.1.2 semantics so a golden packed-binary sample can be
+#    produced.
+patch("make_in_and_outfiles.c",
+      "if (state->options.OUTPUT_FORMAT == OutputFormat::ASCII_FORMAT) {",
+      "if (state->options.OUTPUT_FORMAT == OutputFormat::ASCII_FORMAT ||\n      state->options.OUTPUT_FORMAT == OutputFormat::BINARY_FORMAT) {")
+import re
+src = open("vicNl.c").read()
+anchor = "// allocating one current_output_data vector element per cell (i.e. we write once per time step)"
+i = src.index(anchor)
+j = src.index("copy_output_data(current_output_data, out_data_list, state);", i)
+j += len("copy_output_data(current_output_data, out_data_list, state);")
+ins = ("\n      if (state->options.PRT_HEADER)\n"
+       "        cell_data_structs[cellidx].outputFormat->write_header("
+       "current_output_data[cellidx], &dmy[0], state);")
+src = src[:j] + ins + src[j:]
+open("vicNl.c", "w").write(src)
+
 print("all patches applied")
 PYEOF
 

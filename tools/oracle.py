@@ -87,6 +87,11 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
                   (get_global_param.c:931).
     lakes         base + LAKES: a lake/wetland tile per cell
                   (read_lakeparam.c grammar; lakes.eb.c energy/water budget)
+    heavy         every expensive path at once, matching bench.py's heavy
+                  variant: FROZEN_SOIL + IMPLICIT FD nodes + CLOSE_ENERGY +
+                  DIST_PRCP + BLOWING + LAKES at 3-hourly steps.  Used with
+                  --bench-only to measure the honest same-config C baseline
+                  (requires the CLOSE_ENERGY=TRUE build).
     """
     n_rec = n_days * STEPS_PER_DAY
     os.makedirs(workdir, exist_ok=True)
@@ -104,8 +109,8 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
         # lng 0 with off_gmt 0 h => hour_offset 0 (initialize_atmos.c:125)
         lons = np.full(n_cell, 0.0)
         off_gmt_h = 0.0
-    avg_temp = 2.0 if config in ("frozen", "bands") else 8.0
-    fs_active = 1 if config == "frozen" else 0
+    avg_temp = 2.0 if config in ("frozen", "bands", "heavy") else 8.0
+    fs_active = 1 if config in ("frozen", "heavy") else 0
 
     # ---- soil file (read_soilparam.c column order, glacier format) ----
     glacier_defaults = [0.85, 0.94, 0.58, 0.82, 0.46,   # albedo decay
@@ -152,7 +157,7 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
                 + [0.3] * 12 + [0.002] * 12 + [0.0] * 12 \
                 + [10.0, 100.0, 0.5, 0.5, 0.0]
             f.write(" ".join(str(v) for v in row) + "\n")
-        if config == "close":
+        if config in ("close", "heavy"):
             # overstory conifer class — CLOSE_ENERGY's Tcanopy iteration
             # only engages for overstory tiles holding canopy snow
             # (surface_fluxes.c:598-604 'iter_snow.snow && overstory')
@@ -161,7 +166,7 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
                 + [0.12] * 12 + [1.2] * 12 + [8.0] * 12 \
                 + [15.0, 30.0, 0.5, 0.6, 0.2]
             f.write(" ".join(str(v) for v in row) + "\n")
-        if config == "lakes":
+        if config in ("lakes", "heavy"):
             # a second grass-like class so the wetland tile (class 1 =
             # lake_idx) can be small: the reference's put_data lake
             # weighting (Cv*Clake over mm-per-lake-area fluxes) is only
@@ -195,6 +200,14 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
                 f.write(f"{ci + 1} 2\n")
                 f.write("1 0.10 0.30 0.60 0.70 0.40 0\n")
                 f.write("3 0.60 0.30 0.60 0.70 0.40 0\n")
+            elif config == "heavy":
+                # wetland tile + overstory conifer (canopy-snow Tcanopy
+                # iteration) + grass; BLOWING adds sigma_slope/lag_one/fetch
+                # columns before bandIndex (read_vegparam.c:172-186)
+                f.write(f"{ci + 1} 3\n")
+                f.write("1 0.10 0.30 0.60 0.70 0.40 1.0 0.9 2000.0 0\n")
+                f.write("4 0.40 0.50 0.50 0.50 0.50 1.0 0.9 2000.0 0\n")
+                f.write("3 0.30 0.30 0.60 0.70 0.40 1.0 0.9 2000.0 0\n")
             else:
                 f.write(f"{ci + 1} 1\n")
                 # PCIC tile line: class Cv (depth fract)*RZ bandIndex
@@ -205,7 +218,7 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
     # header line  "gridcel lake_idx numnod mindepth wfrac depth_in
     # rpercent"  then (LAKE_PROFILE FALSE) one line "maxdepth Cl[0]" from
     # which the parabolic depth-area curve is computed ----
-    if config == "lakes":
+    if config in ("lakes", "heavy"):
         with open(os.path.join(workdir, "lakeparam.txt"), "w") as f:
             for ci in range(n_cell):
                 f.write(f"{ci + 1} 1 5 0.25 0.02 2.0 0.10\n")
@@ -248,7 +261,7 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
     # ---- global parameter file ----
     y0, m0, d0 = start
     end = _add_days(y0, m0, d0, n_days - 1)
-    frozen = config == "frozen"
+    frozen = config in ("frozen", "heavy")
     g = f"""
 NLAYER 3
 NODES {5 if frozen else 3}
@@ -265,8 +278,9 @@ FULL_ENERGY TRUE
 FROZEN_SOIL {"TRUE" if frozen else "FALSE"}
 QUICK_FLUX {"FALSE" if frozen else "TRUE"}
 IMPLICIT {"TRUE" if frozen else "FALSE"}
-DIST_PRCP {"TRUE" if config == "dist" else "FALSE"}
+DIST_PRCP {"TRUE" if config in ("dist", "heavy") else "FALSE"}
 CORRPREC FALSE
+BLOWING {"TRUE" if config == "heavy" else "FALSE"}
 MIN_WIND_SPEED 0.1
 MAX_SNOW_TEMP 0.5
 MIN_RAIN_TEMP -0.5
@@ -302,8 +316,8 @@ ROOT_ZONES 2
 SNOW_BAND {3 if config == "bands" else 1}{f" {workdir}/snowband.txt" if config == "bands" else ""}
 GLACIER_ID {2 if config == "bands" else -1}{f"""
 LAKES {workdir}/lakeparam.txt
-LAKE_PROFILE FALSE""" if config == "lakes" else ""}{"""
-CLOSE_ENERGY TRUE""" if config == "close" else ""}
+LAKE_PROFILE FALSE""" if config in ("lakes", "heavy") else ""}{"""
+CLOSE_ENERGY TRUE""" if config in ("close", "heavy") else ""}
 RESULT_DIR {workdir}/results
 OUT_STEP 0
 SKIPYEAR 0
@@ -520,10 +534,12 @@ def main():
                     help="jax platform for the vic-tpu run (cpu|axon)")
     ap.add_argument("--config", default="base",
                     choices=["base", "frozen", "bands", "dist", "mtclim",
-                             "close", "lakes"])
+                             "close", "lakes", "heavy"])
     ap.add_argument("--skip-parity", action="store_true")
+    ap.add_argument("--bench-only", action="store_true",
+                    help="time the C binary only (no vic-tpu run/parity)")
     args = ap.parse_args()
-    if args.config == "close" and args.binary == "/tmp/vicbuild/vicNl":
+    if args.config in ("close", "heavy") and args.binary == "/tmp/vicbuild/vicNl":
         # CLOSE_ENERGY is compile-time upstream; use the dedicated build
         # (CLOSE_ENERGY=TRUE tools/build_reference.sh /tmp/vicbuild_close)
         args.binary = "/tmp/vicbuild_close/vicNl"
@@ -538,6 +554,9 @@ def main():
         mt, wall, _ = run_reference(args.workdir, args.binary, threads)
         print(f"reference C binary (threads={threads}): model {mt:.2f}s "
               f"(wall {wall:.2f}s) -> {cs / mt:,.0f} cell-steps/s")
+
+    if args.bench_only:
+        return
 
     t0 = time.perf_counter()
     gp, res, domain = run_vic_tpu(args.workdir, args.platform)
