@@ -100,14 +100,14 @@ class TestBinaryWriter:
         ax = make_time_axis(1995, 1, 1, 0, n_rec, 24)
         w = BinaryOutputWriter(str(tmp_path), "fluxes",
                                [50.0, 50.25], [-116.0, -116.0],
-                               ["OUT_PREC", "OUT_SOIL_MOIST"])
+                               ["OUT_PREC", "OUT_SOIL_MOIST"],
+                               nrecs=n_rec, out_dt=24,
+                               start_date=(1995, 1, 1, 0))
         w.write_all(outs, ax)
-        raw = np.fromfile(w.paths[0], np.uint8)
-        rec_bytes = 4 * 4 + 4 * (1 + 3)
-        assert len(raw) == n_rec * rec_bytes
-        # parse first record
-        import struct
-        y, m, d, h = struct.unpack("<4i", raw[:16].tobytes())
-        assert (y, m, d, h) == (1995, 1, 1, 0)
-        vals = struct.unpack("<4f", raw[16:32].tobytes())
-        np.testing.assert_allclose(vals[0], outs["OUT_PREC"][0, 0], rtol=1e-6)
+        from vic_tpu.output import read_binary_output
+        meta, dates, cols = read_binary_output(w.paths[0])
+        assert meta["nrecs"] == n_rec and meta["out_dt"] == 24
+        assert dates[0].tolist() == [1995, 1, 1]
+        assert len(cols) == 1 + 3          # PREC + SOIL_MOIST x3
+        np.testing.assert_allclose(cols[0], outs["OUT_PREC"][:, 0],
+                                   rtol=1e-6)

@@ -447,12 +447,19 @@ def write_outputs(gp, domain, timeaxis, agg, steps_per_out):
             w.close()
     elif gp.output_format.upper() == "BINARY":
         from .output import BinaryOutputWriter
-        w = BinaryOutputWriter(gp.result_dir, "fluxes", lats, lons, var_names,
-                               grid_decimal=gp.grid_decimal)
         n_out2 = len(next(iter(agg.values())))
         out_ax = TimeAxis(*[a[::steps_per_out][:n_out2] for a in
                             (timeaxis.year, timeaxis.month, timeaxis.day,
                              timeaxis.hour, timeaxis.day_in_year)])
+        w = BinaryOutputWriter(gp.result_dir, "fluxes", lats, lons, var_names,
+                               grid_decimal=gp.grid_decimal, nrecs=n_out2,
+                               out_dt=gp.out_step if gp.out_step else gp.dt,
+                               start_date=(int(out_ax.year[0]),
+                                           int(out_ax.month[0]),
+                                           int(out_ax.day[0]),
+                                           int(out_ax.hour[0])),
+                               alma_output=gp.alma_output,
+                               outvar_specs=gp.outvar_specs)
         w.write_all(agg, out_ax)
         w.close()
         return

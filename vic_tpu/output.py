@@ -583,6 +583,16 @@ OUTVAR_META: Dict[str, OutVarMeta] = {
     "OUT_SURF_COND": _M("m s-1", "SURF_COND", "",
                         "Surface conductance (never filled upstream: 0)",
                         "time: mean area: mean", AGG_AVG),
+    # derived members of the default fluxes file (put_data.c:959-1013)
+    "OUT_R_NET": _M("W m-2", "R_NET", "surface_net_radiation",
+                    "Net downward radiation flux",
+                    "time: mean area: mean", AGG_AVG),
+    "OUT_IN_LONG": _M("W m-2", "IN_LONG", "downwelling_longwave_flux_in_air",
+                      "Incoming longwave at ground surface (under veg)",
+                      "time: mean area: mean", AGG_AVG),
+    "OUT_AERO_RESIST": _M("s m-1", "AERO_RESIST", "",
+                          "Scene aerodynamic resistance",
+                          "time: mean area: mean", AGG_AVG),
 }
 
 # Default file compositions (set_output_defaults.c:8: fluxes + snow files)
@@ -635,6 +645,11 @@ def aggregate_outputs(outs: Dict[str, np.ndarray], steps_per_out: int,
             out[name] = grouped[:, -1]
         else:
             out[name] = grouped.mean(axis=1)
+    # scene resistance is re-derived from the AGGREGATED conductance
+    # (put_data.c:681), not averaged
+    if "OUT_AERO_RESIST" in out and "OUT_AERO_COND" in out:
+        out["OUT_AERO_RESIST"] = 1.0 / np.maximum(out["OUT_AERO_COND"],
+                                                  1e-30)
     return out
 
 
@@ -728,47 +743,196 @@ class NetCDFOutputWriter:
         self.f.close()
 
 
+# OUT_TYPE_* enum (vicNl_def.h:580-586) -> (code, little-endian numpy dtype)
+OUT_TYPES = {
+    "OUT_TYPE_DEFAULT": (0, "<f4"),
+    "OUT_TYPE_CHAR": (1, "<i1"),
+    "OUT_TYPE_SINT": (2, "<i2"),
+    "OUT_TYPE_USINT": (3, "<u2"),
+    "OUT_TYPE_INT": (4, "<i4"),
+    "OUT_TYPE_FLOAT": (5, "<f4"),
+    "OUT_TYPE_DOUBLE": (6, "<f8"),
+}
+
+
 class BinaryOutputWriter:
-    """Per-cell binary flux files (WriteOutputBinary.c): date as 4 int32
-    columns followed by each variable as little-endian float32 (the
-    reference's OUT_TYPE_FLOAT element type; its packed USINT+multiplier
-    variant is a lossy option we do not reproduce)."""
+    """Per-cell packed binary flux files, byte-faithful to the reference
+    (WriteOutputBinary.c:99-293):
+
+    header = 4x 0xFFFF (u16) | Nbytes (u16) |
+             part1: Nbytes1 (u16), nrecs (i4), out_dt (i4),
+                    year/month/day/hour (4x i4), ALMA_OUTPUT (i1),
+                    Nvars (i1 — date fields INCLUDED) |
+             part2: Nbytes2 (u16), then per field {len (i1), name, type (i1),
+                    mult (f4)} for YEAR/MONTH/DAY[/HOUR] and each data
+                    variable element.
+    data   = per record: date as 3 (daily) or 4 (sub-daily) i4, then each
+             variable element cast to its OUT_TYPE_* dtype.
+
+    Reference quirks replicated for byte-compatibility:
+    - Nbytes/Nbytes2 count ONLY the date-field entries: the size loop over
+      data variables is commented out upstream ("as part of making Binary
+      output mode go away", WriteOutputBinary.c:181-190) while the write
+      loop still emits the entries, so the recorded header size undershoots
+      the real one.
+    - The per-variable header name is the STALE tmp_str from the last date
+      field ("HOUR" sub-daily / "DAY" daily): the sprintf that would set it
+      is commented out (WriteOutputBinary.c:281-284).
+    - Data values are written UNMULTIPLIED: the mult is applied only in
+      prepareDataForWriting(), which only write_header() calls — per-record
+      write_data() casts raw aggdata (the classic 4.1.2 value*mult packing
+      does not survive in this fork).
+    Per-variable type/mult come from OUTVAR specs (parse_output_info.c
+    grammar); defaults are OUT_TYPE_FLOAT / 1 (set_output_defaults.c).
+    """
 
     def __init__(self, result_dir: str, prefix: str, lats, lons, var_names,
-                 grid_decimal: int = 4):
+                 grid_decimal: int = 4, nrecs: int = 0, out_dt: int = 24,
+                 start_date=(0, 1, 1, 0), alma_output: bool = False,
+                 outvar_specs: dict = None):
         import os
         self.paths = []
         self.var_names = [v for v in var_names if v in OUTVAR_META]
+        self.nrecs = nrecs
+        self.out_dt = out_dt
+        self.start_date = start_date
+        self.alma = alma_output
+        self.specs = outvar_specs or {}
         fmt = f"%.{grid_decimal}f"
         os.makedirs(result_dir, exist_ok=True)
         for la, lo in zip(lats, lons):
             self.paths.append(os.path.join(
                 result_dir, f"{prefix}_{fmt % la}_{fmt % lo}"))
 
+    def _var_type_mult(self, name):
+        spec = self.specs.get(name)
+        tname = getattr(spec, "type", "*") if spec is not None else "*"
+        if tname not in OUT_TYPES or tname == "OUT_TYPE_DEFAULT":
+            tname = "OUT_TYPE_FLOAT"
+        mult = getattr(spec, "multiplier", 1.0) if spec is not None else 1.0
+        # set_output_var: mult == 0 keeps the default 1
+        return tname, (mult if mult else 1.0)
+
+    def _header(self, nelem):
+        import struct
+        subdaily = self.out_dt < 24
+        date_fields = [("YEAR",), ("MONTH",), ("DAY",)] + \
+            ([("HOUR",)] if subdaily else [])
+        nbytes1 = 2 + 4 + 4 + 4 * 4 + 1 + 1
+        nbytes2 = 2 + sum(1 + len(n[0]) + 1 + 4 for n in date_fields)
+        nbytes = 4 * 2 + 2 + nbytes1 + nbytes2       # quirk: data vars absent
+        # Nvars counts VARIABLES + date fields even though the entry list
+        # below is per ELEMENT (WriteOutputBinary.c:224-231 vs :279-292)
+        nvars = len(self.var_names) + len(date_fields)
+        y, m, d, h = self.start_date
+        out = struct.pack("<4H", 0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF)
+        out += struct.pack("<HH", nbytes, nbytes1)
+        out += struct.pack("<ii4ibB", self.nrecs, self.out_dt, y, m, d, h,
+                           1 if self.alma else 0, nvars & 0xFF)
+        out += struct.pack("<H", nbytes2)
+        for (nm,) in date_fields:
+            out += struct.pack("<b", len(nm)) + nm.encode()
+            out += struct.pack("<bf", OUT_TYPES["OUT_TYPE_INT"][0], 1.0)
+        stale = date_fields[-1][0]                   # "HOUR" or "DAY" quirk
+        for name in self.var_names:
+            tname, mult = self._var_type_mult(name)
+            for _ in range(nelem[name]):
+                out += struct.pack("<b", len(stale)) + stale.encode()
+                out += struct.pack("<bf", OUT_TYPES[tname][0], float(mult))
+        return out
+
     def write_all(self, outs, timeaxis):
         n_rec = len(timeaxis.year)
+        subdaily = self.out_dt < 24
+        date_cols = [np.asarray(timeaxis.year, np.int32),
+                     np.asarray(timeaxis.month, np.int32),
+                     np.asarray(timeaxis.day, np.int32)]
+        if subdaily:
+            date_cols.append(np.asarray(timeaxis.hour, np.int32))
+        date_block = np.stack(date_cols, 1).astype("<i4")
+        nelem = {}
+        for name in self.var_names:
+            v = np.asarray(outs[name])
+            nelem[name] = 1 if v.ndim <= 2 else int(np.prod(v.shape[2:]))
+        header = self._header(nelem)
         for ci, path in enumerate(self.paths):
-            cols = [np.asarray(timeaxis.year, np.int32),
-                    np.asarray(timeaxis.month, np.int32),
-                    np.asarray(timeaxis.day, np.int32),
-                    np.asarray(timeaxis.hour, np.int32)]
-            date_block = np.stack(cols, 1).astype("<i4")
-            data_cols = []
+            blocks = []
             for name in self.var_names:
+                tname, _ = self._var_type_mult(name)
+                dt_np = OUT_TYPES[tname][1]
                 v = np.asarray(outs[name])[:n_rec]
                 vc = v[:, ci] if v.ndim >= 2 else v
-                if vc.ndim == 1:
-                    data_cols.append(vc[:, None])
-                else:
-                    data_cols.append(vc)
-            data_block = np.concatenate(data_cols, 1).astype("<f4")
+                vc = vc.reshape(n_rec, -1)
+                if dt_np in ("<i1", "<i2", "<i4"):
+                    vc = np.trunc(vc)                # C cast truncates
+                blocks.append(np.ascontiguousarray(vc).astype(dt_np))
             with open(path, "wb") as fh:
+                fh.write(header)
                 for i in range(n_rec):
                     fh.write(date_block[i].tobytes())
-                    fh.write(data_block[i].tobytes())
+                    for b in blocks:
+                        fh.write(b[i].tobytes())
 
     def close(self):
         pass
+
+
+def read_binary_output(path):
+    """Parse a reference-format packed binary flux file
+    (WriteOutputBinary.c header spec above). Returns (meta, date[n,3|4],
+    columns[list of np arrays]) — used by tests to round-trip both our own
+    files and C-binary samples."""
+    import struct
+    raw = open(path, "rb").read()
+    assert raw[:8] == b"\xff\xff" * 4, "bad identifier"
+    nbytes, nbytes1 = struct.unpack_from("<HH", raw, 8)
+    nrecs, out_dt, y, m, d, h, alma, nvars = struct.unpack_from(
+        "<ii4ibB", raw, 12)
+    off = 12 + (nbytes1 - 2)
+    (nbytes2,) = struct.unpack_from("<H", raw, off)
+    off += 2
+
+    def read_field(off):
+        (ln,) = struct.unpack_from("<b", raw, off)
+        off += 1
+        nm = raw[off:off + ln].decode()
+        off += ln
+        ty, mult = struct.unpack_from("<bf", raw, off)
+        off += 5
+        return (nm, ty, mult), off
+
+    dtypes = {0: "<f4", 1: "<i1", 2: "<i2", 3: "<u2", 4: "<i4", 5: "<f4",
+              6: "<f8"}
+    # date fields: fixed count from out_dt (the header's Nvars counts
+    # VARIABLES + date fields while the entry list is per ELEMENT — another
+    # byte of the orphaned upstream writer that can't be trusted)
+    n_date = 4 if out_dt < 24 else 3
+    fields = []
+    for _ in range(n_date):
+        f, off = read_field(off)
+        fields.append(f)
+    # data-variable element entries: the header sizes (Nbytes/Nbytes2)
+    # exclude them (WriteOutputBinary.c:181-190 commented out), so parse
+    # until the remaining bytes are exactly nrecs whole data records
+    data_fields = []
+    rec_bytes = n_date * 4
+    while nrecs == 0 or len(raw) - off != nrecs * rec_bytes:
+        f, off = read_field(off)
+        data_fields.append(f)
+        rec_bytes += np.dtype(dtypes[f[1]]).itemsize
+        if nrecs == 0 and (len(raw) - off) % max(rec_bytes, 1) == 0:
+            break
+        if off >= len(raw):
+            raise ValueError("unparseable packed binary header")
+    fields += data_fields
+    rec_fmt = [("date", "<i4", n_date)] + [
+        (f"v{i}", dtypes[ty]) for i, (_, ty, _m) in enumerate(data_fields)]
+    arr = np.frombuffer(raw[off:], dtype=np.dtype(rec_fmt))
+    meta = dict(nrecs=nrecs, out_dt=out_dt, start=(y, m, d, h),
+                alma=bool(alma), fields=fields, nbytes=nbytes,
+                nbytes1=nbytes1, nbytes2=nbytes2)
+    cols = [arr[f"v{i}"] for i in range(len(data_fields))]
+    return meta, arr["date"], cols
 
 
 class AsciiOutputWriter:
