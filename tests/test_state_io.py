@@ -122,3 +122,55 @@ def test_legacy_state_resume_matches(tmp_path, fmt):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(fs_resumed.swq),
                                np.asarray(fs_full.swq), rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native netcdf")
+def test_ref_netcdf_state_roundtrip(tmp_path):
+    """Reference-schema NetCDF state (StateIONetCDF.c layout): write after a
+    short run, read back, every prognostic field round-trips."""
+    gp, dom, params, stack = setup_run()
+    st0 = initial_state(dom, gp)
+    fs, _ = jax.jit(lambda s, f: run(s, f, params, gp))(st0, stack)
+    path = str(tmp_path / "state_ref.nc")
+    save_state(path, fs, gp, domain=dom)        # domain => reference schema
+    from vic_tpu.io.state_netcdf_ref import is_ref_netcdf_state
+    assert is_ref_netcdf_state(path)
+    restored = load_state(path, gp, template=st0, domain=dom)
+    mask = np.asarray(dom.hru.mask)
+    for k in ("moist", "swq", "node_temp", "wdew", "albedo", "density",
+              "depth", "pack_water", "surf_water", "snow_canopy",
+              "cold_content", "pack_temp", "surf_temp", "tfoliage",
+              "glac_water_storage", "glac_surf_temp"):
+        a = np.asarray(getattr(restored, k))
+        b = np.asarray(getattr(fs, k))
+        m = mask[..., None] if a.ndim == 3 else mask
+        np.testing.assert_allclose(np.where(m, a, 0.0), np.where(m, b, 0.0),
+                                   rtol=1e-6, atol=1e-10, err_msg=k)
+    np.testing.assert_array_equal(
+        np.where(mask, np.asarray(restored.melting), False),
+        np.where(mask, np.asarray(fs.melting), False))
+    np.testing.assert_array_equal(
+        np.where(mask, np.asarray(restored.last_snow), 0),
+        np.where(mask, np.asarray(fs.last_snow), 0))
+
+
+@pytest.mark.skipif(not native.available(), reason="no native netcdf")
+def test_ref_netcdf_state_schema(tmp_path):
+    """The written file carries the StateIONetCDF.c dims/vars/attrs."""
+    gp, dom, params, stack = setup_run(n_rec=2)
+    st0 = initial_state(dom, gp)
+    path = str(tmp_path / "state_ref.nc")
+    save_state(path, st0, gp, domain=dom)
+    with native.NetCDFFile(path, "r") as nc:
+        for d, ln in [("bnds", 2), ("Nlayers", gp.nlayer),
+                      ("frost_subareas", 10), ("lake_active_nodes", 21),
+                      ("NgmbTerms", 4)]:
+            assert nc.dim_len(d) == ln, d
+        names = set(nc.var_names())
+        for v in ("GRID_CELL", "VEG_TYPE_NUM", "NUM_BANDS", "LAYER_MOIST",
+                  "LAYER_ICE_CONTENT", "HRU_VEG_VAR_WDEW", "ENERGY_T",
+                  "SNOW_SWQ", "SOIL_DZ_NODE", "SOIL_ZSUM_NODE",
+                  "GLAC_MASS_BALANCE_EQN_TERMS", "SNOW_MELTING",
+                  "ENERGY_T_FBCOUNT"):
+            assert v in names, v
+        assert nc.dim_len("hru") >= 1

@@ -113,6 +113,10 @@ class NetCDFFile:
         if isinstance(value, str):
             _check(self._lib.vicio_nc_put_att_text(
                 self.ncid, varid, name.encode(), value.encode()))
+        elif isinstance(value, (int, np.integer)) and not isinstance(
+                value, bool) and hasattr(self._lib, "vicio_nc_put_att_int"):
+            _check(self._lib.vicio_nc_put_att_int(
+                self.ncid, varid, name.encode(), ct.c_int(int(value))))
         else:
             _check(self._lib.vicio_nc_put_att_double(
                 self.ncid, varid, name.encode(), ct.c_double(float(value))))

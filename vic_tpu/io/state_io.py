@@ -198,6 +198,13 @@ def save_state(path: str, state: ModelState, gp, date=None,
         from .state_legacy import write_state_legacy
         write_state_legacy(path, state, gp, domain, date=date, fmt=fmt,
                            geom=geom, gmb=gmb, lake_params=lake_params)
+    elif fmt == "NETCDF" and native.available() and domain is not None:
+        # STATE_FORMAT NETCDF writes the REFERENCE schema
+        # (StateIONetCDF.c) — the compatibility surface; vic-tpu's own
+        # internal schema remains readable via format sniffing
+        from .state_netcdf_ref import write_state_netcdf_ref
+        write_state_netcdf_ref(path, state, gp, domain, date=date,
+                               geom=geom, gmb=gmb, lake_params=lake_params)
     elif fmt == "NETCDF" and native.available():
         save_state_netcdf(path, state, gp, date)
     else:
@@ -213,6 +220,10 @@ def load_state(path: str, gp, template: ModelState,
     with open(path, "rb") as fh:
         magic = fh.read(8)
     if magic[:3] == b"CDF" or magic[:8] == b"\x89HDF\r\n\x1a\n":
+        from .state_netcdf_ref import is_ref_netcdf_state
+        if domain is not None and is_ref_netcdf_state(path):
+            from .state_netcdf_ref import load_state_netcdf_ref
+            return load_state_netcdf_ref(path, gp, domain, template)
         return load_state_netcdf(path, gp, template)
     if domain is not None:
         from .state_legacy import load_state_legacy

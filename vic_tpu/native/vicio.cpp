@@ -41,6 +41,8 @@ int nc_put_att_float(int ncid, int varid, const char *name, int xtype,
                      size_t len, const float *op);
 int nc_put_att_double(int ncid, int varid, const char *name, int xtype,
                       size_t len, const double *op);
+int nc_put_att_int(int ncid, int varid, const char *name, int xtype,
+                   size_t len, const int *op);
 int nc_inq_dimid(int ncid, const char *name, int *idp);
 int nc_inq_dimlen(int ncid, int dimid, size_t *lenp);
 int nc_inq_varid(int ncid, const char *name, int *varidp);
@@ -114,6 +116,9 @@ int vicio_nc_put_att_text(int ncid, int varid, const char *name,
 int vicio_nc_put_att_double(int ncid, int varid, const char *name,
                             double value) {
   return nc_put_att_double(ncid, varid, name, NC_DOUBLE, 1, &value);
+}
+int vicio_nc_put_att_int(int ncid, int varid, const char *name, int value) {
+  return nc_put_att_int(ncid, varid, name, NC_INT, 1, &value);
 }
 int vicio_nc_inq_dimid(int ncid, const char *name, int *dimid) {
   return nc_inq_dimid(ncid, name, dimid);
