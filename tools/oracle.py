@@ -96,6 +96,11 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
     n_rec = n_days * STEPS_PER_DAY
     os.makedirs(workdir, exist_ok=True)
     os.makedirs(os.path.join(workdir, "forcing"), exist_ok=True)
+    # wipe stale results: the reference APPENDS to existing flux files
+    # (make_in_and_outfiles.c "just open for appending"), so leftovers from
+    # a previous run corrupt the comparison
+    import shutil
+    shutil.rmtree(os.path.join(workdir, "results"), ignore_errors=True)
     os.makedirs(os.path.join(workdir, "results"), exist_ok=True)
 
     lats = 48.0 + 0.25 * np.arange(n_cell)

@@ -191,11 +191,14 @@ class GlobalParams:
     # ----- numerics (TPU-native knobs; not in the reference grammar) -----
     brent_maxiter: int = 60            # fixed iteration budget for batched Brent
     soil_sweep_maxiter: int = 30       # explicit node-sweep budget (ref MAXIT=1000, tol 1e-2)
-    # QUICK_FLUX FALSE: evaluate the surface-EB Brent residual on an affine
-    # (two-probe) model of the node-profile response instead of re-running
-    # the Gauss-Seidel sweep per candidate Ts (the reference re-solves per
-    # evaluation, func_surf_energy_bal.c:190-228); the quirk-faithful solve
-    # still runs once at the accepted root. FALSE = the literal nesting.
+    # QUICK_FLUX FALSE + CLOSE_ENERGY: evaluate the surface-EB Brent of the
+    # INTERMEDIATE Tcanopy passes on an affine (two-probe) model of the
+    # node-profile response instead of re-running the Gauss-Seidel sweep per
+    # candidate Ts (the reference re-solves per evaluation,
+    # func_surf_energy_bal.c:190-228). The final pass — the one the carried
+    # state and reported fluxes come from — always runs the exact
+    # in-residual solve, as does every non-CLOSE_ENERGY configuration.
+    # FALSE = the literal nesting in every pass.
     fd_affine_residual: bool = True
     dtype: str = "float32"
 

@@ -328,32 +328,8 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                     max_sweeps=gp.soil_sweep_maxiter, ice_quirk=True,
                     t_start=t_start)
 
-            if gp.fd_affine_residual:
-                # TPU restructure of the reference's costliest nesting
-                # (func_surf_energy_bal.c:190-228 re-solves the whole node
-                # profile inside EVERY Brent residual evaluation, inside
-                # every CLOSE_ENERGY pass): probe the profile ONCE per step
-                # at two boundary temperatures around the carried surface
-                # temperature and treat the response as affine in Ts for
-                # every in-iteration evaluation.  The quirk-faithful solve
-                # still runs once at the accepted root (below) and is what
-                # the carried state and reported fluxes use.  Measured on
-                # v5e this takes the heavy bench from ~1.1k to >100k
-                # cell-steps/s; the affine model is exact wherever node ice
-                # is zero or the node TFALLBACKs (see surface.py).
-                ts_probe = state.node_temp[..., 0]
-                prof_a = fd_solve(ts_probe - 1.0)
-                prof_b = fd_solve(ts_probe + 1.0, t_start=prof_a.temp)
-                fd_interp = (ts_probe - 1.0, prof_a.temp,
-                             ts_probe + 1.0, prof_b.temp)
-                fd_in_residual = None
-            else:
-                fd_interp = None
-                fd_in_residual = fd_solve
         else:
             fd_solve = None
-            fd_interp = None
-            fd_in_residual = None
 
         eb_common = dict(
             ts_old=state.node_temp[..., 0], t1_old=state.node_temp[..., 1],
@@ -380,11 +356,22 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             resid_moist0=B(p.resid_moist)[..., 0], b_infilt=B(p.b_infilt),
             max_moist_l=B(p.max_moist), surf_atten=surf_att_eff,
             grnd_flux_type=int(gp.grnd_flux_type), frozen_soil=frozen,
-            fd_solve=fd_in_residual, fd_interp=fd_interp)
+            fd_solve=fd_solve)
 
-        def column(tca):
+        def column(tca, fd_cheap=False):
             """One pass of the overstory->understory chain at canopy-air
-            temperature `tca` (== Tair on non-iterated lanes)."""
+            temperature `tca` (== Tair on non-iterated lanes).
+
+            fd_cheap (QUICK_FLUX FALSE only): evaluate the surface-EB Brent
+            on the affine two-probe node-profile model instead of the full
+            per-candidate sweep.  Used ONLY for the intermediate CLOSE_ENERGY
+            passes, whose sole consumer is the Tcanopy update — the final
+            pass (and every non-iterated configuration) runs the exact
+            in-residual solve, so the carried node state and reported fluxes
+            are bit-identical to the literal nesting.  (An earlier design
+            used the affine model everywhere; the frozen-soil quirk solver's
+            root-vs-linear branch selection is so sensitive that ~0.01 C
+            root differences compounded into r=0.5 parity collapse.)"""
             # ---- overstory canopy snow interception (solve_snow.c:226 ->
             # snow_intercept.c) — computed for all lanes, applied to
             # overstory lanes in the snow path ------------------------------
@@ -646,10 +633,17 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                     moist_d, ice_d, **pre_args)
                 eb_kwargs["mu_wet"] = mu
 
-            ts, fb = solve_surface_temperature(
+            ts, fb, fdi = solve_surface_temperature(
                 eb_kwargs, state.node_temp[..., 0], tca, full_energy,
-                max_iter=gp.brent_maxiter, active=p.mask)
-            eb = surf_energy_terms(ts, compute_evap=True, **eb_kwargs)
+                max_iter=gp.brent_maxiter, active=p.mask,
+                fd_affine=fd_nodes and gp.fd_affine_residual and fd_cheap)
+            # evaluate the accepted root's terms on the same profile model
+            # the Brent used (the affine interp when active); finalize_fd
+            # re-evaluates on the true solved profile after the Tcanopy
+            # loop settles
+            eb_eval_kwargs = (dict(eb_kwargs, fd_solve=None, fd_interp=fdi)
+                              if fdi is not None else eb_kwargs)
+            eb = surf_energy_terms(ts, compute_evap=True, **eb_eval_kwargs)
 
             return dict(
                 ci=ci, rainfall=rainfall, snowfall_ground=snowfall_ground,
@@ -682,21 +676,6 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
         tcanopy_fb = jnp.zeros_like(p.overstory)
         atmos_error = jnp.zeros_like(tair)
 
-        if fd_nodes and gp.fd_affine_residual:
-            def finalize_fd(r):
-                # one quirk-faithful node solve at the ACCEPTED surface
-                # temperature, warm-started from the affine profile the
-                # Brent converged on, then the EB terms re-evaluated on the
-                # TRUE profile — this is what the carried node state and the
-                # reported fluxes see (the reference's final calculate(Tsurf)
-                # pass, calc_surf_energy_bal.c:489-506)
-                prof_f = fd_solve(r["ts"], t_start=r["eb"].t_nodes)
-                ebk = dict(r["eb_kwargs"], fd_interp=None)
-                return dict(r, eb=surf_energy_terms(
-                    r["ts"], compute_evap=True, fd_given=prof_f, **ebk))
-        else:
-            finalize_fd = lambda r: r
-
         if gp.close_energy and full_energy:
             from .physics.canopy_air import calc_atmos_energy_bal
 
@@ -726,7 +705,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
 
             def body(carry):
                 tc_prev, g_prev, tc, it, _ = carry
-                g = tc_update(column(tc), tc)[0] - tc
+                g = tc_update(column(tc, fd_cheap=True), tc)[0] - tc
                 denom = g - g_prev
                 sec = g * (tc - tc_prev) / jnp.where(
                     jnp.abs(denom) < 1e-12, 1.0, denom)
@@ -741,11 +720,11 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             init = (tair, jnp.zeros_like(tair), tair,
                     jnp.asarray(0, jnp.int32), jnp.asarray(False))
             _, _, tcanopy, _, _ = jax.lax.while_loop(cond, body, init)
-            r = finalize_fd(column(tcanopy))
+            r = column(tcanopy)
             tcanopy, tcanopy_fb, atmos_error = tc_update(r, tcanopy)
         else:
             tcanopy = tair
-            r = finalize_fd(column(tair))
+            r = column(tair)
 
         ci = r["ci"]; rainfall = r["rainfall"]
         snowfall_ground = r["snowfall_ground"]

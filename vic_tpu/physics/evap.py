@@ -212,7 +212,16 @@ def canopy_evap(moist, soil_ice, wcr, wpwp, root, depth,
     wdew_new = wdew_new - over
 
     if calc_transpiration:
-        wdew_frac_pow = jnp.power(jnp.clip(wdew_new / wdmax_safe, 0.0, 1.0),
+        # the (Wdew/Wdmax)^(2/3) damping uses the START-of-step dew, before
+        # the capacity spill and the canopy evaporation update: the
+        # reference passes tmp_veg_var->Wdew, assigned the raw input at
+        # canopy_evap.c:153 before either adjustment (call at :193).
+        # UNclipped — Wdew above capacity drives the factor above 1 and the
+        # resulting negative layerevap is zeroed by the final clamp
+        # (canopy_evap.c:441), replicated by the clip in transpiration().
+        # (round-4 replay of 251 instrumented C calls: using the updated
+        # dew zeroed transpiration whenever rain filled the canopy)
+        wdew_frac_pow = jnp.power(jnp.maximum(wdew, 0.0) / wdmax_safe,
                                   2.0 / 3.0)
         layerevap = transpiration(moist, soil_ice, wcr, wpwp, root, depth,
                                   rmin, rgl, lai, rarc,
@@ -284,15 +293,21 @@ def arno_beta(moist0, soil_ice0, max_moist0, b_infilt):
     moist = jnp.minimum(jnp.maximum(moist0 - soil_ice0, 0.0), max_moist0)
     ratio = jnp.clip(1.0 - moist / max_moist0, 0.0, 1.0)
     b_safe = jnp.where(b_infilt == 0.0, 1.0, b_infilt)
-    ratio_b = jnp.where(ratio != 0.0, jnp.power(ratio, b_safe), 0.0)
-    as_frac = 1.0 - ratio_b
-    ratio_ib = jnp.where(ratio_b != 0.0, jnp.power(ratio_b, 1.0 / b_safe), 0.0)
-    powers = jnp.power(ratio_ib[..., None],
-                       jnp.arange(1, 31, dtype=moist.dtype))
+    # the chained exponents of arno_evap.c:126-189: the VIC infiltration
+    # shape first maps the deficit through ^(1/(b+1)) (":139" ratio =
+    # pow(ratio, 1/(b_infilt+1))), so the saturated-area term is
+    # 1 - deficit^(b/(b+1)) and the 30-term series runs in
+    # x = deficit^(1/(b+1)) — NOT in the raw deficit (a round-4 replay of
+    # 256 instrumented C arno_evap calls caught the missing first step:
+    # max rel error was 27% at mid-range soil moisture)
+    x = jnp.where(ratio != 0.0,
+                  jnp.power(ratio, 1.0 / (b_safe + 1.0)), 0.0)
+    as_frac = 1.0 - jnp.where(x != 0.0, jnp.power(x, b_safe), 0.0)
+    powers = jnp.power(x[..., None], jnp.arange(1, 31, dtype=moist.dtype))
     terms = b_infilt[..., None] * powers / (
         b_infilt[..., None] + jnp.arange(1, 31, dtype=moist.dtype))
     dummy = 1.0 + terms.sum(-1)
-    return as_frac + (1.0 - as_frac) * (1.0 - ratio_ib) * dummy
+    return as_frac + (1.0 - as_frac) * (1.0 - x) * dummy
 
 
 def arno_evap(moist0, soil_ice0, max_moist0, depth0, resid_moist0,

@@ -308,15 +308,27 @@ def surf_energy_terms(
 
 def solve_surface_temperature(kwargs, t0_old, tair, full_energy: bool,
                               include_snow: bool = False,
-                              max_iter: int = 30, active=None):
-    """Find the surface temperature and return (Ts, fbflag).
+                              max_iter: int = 30, active=None,
+                              fd_affine: bool = False):
+    """Find the surface temperature and return (Ts, fbflag, fd_interp).
 
     Water-balance mode: Ts = Tair, no iteration (calc_surf_energy_bal.c:300).
     Full-energy mode: Brent on [mid-SURF_DT, mid+SURF_DT] with
     mid = 0.5*(T0_old+Tair) (or [T0-SURF_DT, 0] with thin snow), TFALLBACK to
-    the bracket midpoint on failure."""
+    the bracket midpoint on failure.
+
+    fd_affine (QUICK_FLUX FALSE fast path): instead of re-running the full
+    node-profile Gauss-Seidel sweep inside every Brent residual evaluation
+    (the reference's literal structure, func_surf_energy_bal.c:190-228), the
+    profile is solved ONCE at each bracket endpoint and interpolated
+    affinely in between — exact at both endpoints (so the bracketing test
+    sees true residuals), exact in the interior wherever the profile
+    responds affinely to the BC (zero node ice, or TFALLBACK-pinned nodes),
+    and O((2*SURF_DT)^2) elsewhere.  The returned fd_interp tuple lets the
+    caller evaluate the accepted root's EB terms at the same cost.
+    """
     if not full_energy:
-        return tair, jnp.zeros_like(tair, dtype=bool)
+        return tair, jnp.zeros_like(tair, dtype=bool), None
 
     if include_snow:
         t_lower = t0_old - c.SURF_DT
@@ -326,10 +338,25 @@ def solve_surface_temperature(kwargs, t0_old, tair, full_energy: bool,
         t_lower = mid - c.SURF_DT
         t_upper = mid + c.SURF_DT
 
+    kw = kwargs
+    fd_interp = None
+    if fd_affine and kwargs.get("fd_solve") is not None:
+        fd_solve = kwargs["fd_solve"]
+        # both probes COLD-start from the carried temperatures like the
+        # reference's per-evaluation solves: the sweep's root-vs-linear
+        # branch keys on the current iterate's sign (frozen_soil.c:388-401),
+        # so a warm-started probe can settle on a different branch of the
+        # quirk fixed point and poison the interpolation (measured: frozen
+        # soil ice exploded when probes chained warm starts)
+        prof_lo = fd_solve(t_lower)
+        prof_hi = fd_solve(t_upper)
+        fd_interp = (t_lower, prof_lo.temp, t_upper, prof_hi.temp)
+        kw = dict(kwargs, fd_solve=None, fd_interp=fd_interp)
+
     def resid(t):
-        return surf_energy_terms(t, compute_evap=True, **kwargs).error
+        return surf_energy_terms(t, compute_evap=True, **kw).error
 
     res = batched_brent(resid, t_lower, t_upper, max_iter=max_iter,
                         active=active)
     ts = jnp.where(res.converged, res.root, t0_old)  # TFALLBACK
-    return ts, ~res.converged
+    return ts, ~res.converged, fd_interp
