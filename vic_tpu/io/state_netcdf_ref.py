@@ -435,6 +435,12 @@ def load_state_netcdf_ref(path: str, gp, domain,
         t["lake_melting"][:] = g("LAKE_SNOW_MELTING", [hru_file])[:, 0] > 0
     nc.close()
 
+    # LongUnderOut is not a reference state variable; re-derive from the
+    # restored node-0 temperature (initialize_model_state.c:291-293)
+    t["long_under_out"] = (5.6696e-8
+                           * (t["node_temp"][..., 0] + 273.15) ** 4
+                           ).astype(t["long_under_out"].dtype)
+
     import jax.numpy as jnp
     return ModelState(**{k: jnp.asarray(v) for k, v in t.items()})
 

@@ -154,7 +154,17 @@ def build_hru_params(cell_tiles: dict, cell_order, veglib: VegLib, gp,
     layer_depth: [n_cell, n_layer] soil layer thicknesses for root fractions.
     """
     n_band = gp.snow_band
-    class_to_idx = {int(vc): j for j, vc in enumerate(veglib.veg_class)}
+    # FIRST match within the REAL library rows only (getVegIndex,
+    # read_vegparam.c:33-41 scans j < num_veg_types and breaks) — the 4
+    # appended PET reference surfaces carry classes Nveg+1..Nveg+4 that can
+    # COLLIDE with real classes in sparse numbering (e.g. a library with
+    # classes {1,4,3}: appended 4..7 shadow the real conifer 4); a
+    # last-match dict silently resolved the close-config conifer to a PET
+    # surface with overstory=FALSE, disabling the overstory path entirely
+    n_real = len(veglib.veg_class) - 4
+    class_to_idx = {}
+    for j, vc in enumerate(veglib.veg_class[:n_real]):
+        class_to_idx.setdefault(int(vc), j)
     nl = layer_depth.shape[1]
 
     per_cell = []

@@ -358,9 +358,16 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             grnd_flux_type=int(gp.grnd_flux_type), frozen_soil=frozen,
             fd_solve=fd_solve)
 
-        def column(tca, fd_cheap=False):
+        def column(tca, fd_cheap=False, luo=None):
             """One pass of the overstory->understory chain at canopy-air
             temperature `tca` (== Tair on non-iterated lanes).
+
+            luo: upward longwave from the understory surface — the
+            canopy-snow EB's below-canopy input (solve_snow.c:228
+            LongUnderOut). Defaults to the carried state
+            (energy->LongUnderOut); the CLOSE_ENERGY loop re-feeds each
+            pass's surface emission, closing the canopy<->understory
+            radiation exchange the reference iterates.
 
             fd_cheap (QUICK_FLUX FALSE only): evaluate the surface-EB Brent
             on the affine two-probe node-profile model instead of the full
@@ -372,6 +379,8 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             used the affine model everywhere; the frozen-soil quirk solver's
             root-vs-linear branch selection is so sensitive that ~0.01 C
             root differences compounded into r=0.5 parity collapse.)"""
+            if luo is None:
+                luo = state.long_under_out
             # ---- overstory canopy snow interception (solve_snow.c:226 ->
             # snow_intercept.c) — computed for all lanes, applied to
             # overstory lanes in the snow path ------------------------------
@@ -385,7 +394,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 le=le, tcanopy=tca,
                 net_short_over=(1.0 - veg_albedo) * short_over_in,
                 long_over_in=lw_in,
-                long_under_out=c.STEFAN_B * (tair + c.KELVIN) ** 4,
+                long_under_out=luo,
                 ra_overstory=aero.resist.canopy, wind_over=aero.wind.canopy,
                 z_ref=aero.ref_height.canopy,
                 displacement=aero.displacement.canopy,
@@ -402,6 +411,15 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             tfoliage_new = jnp.where(ov_snow, ci.tfoliage, tca)
             canopy_sub_mm = jnp.where(ov_snow, ci.vapor_flux * 1000.0, 0.0)
             tfol_fb = jnp.where(ov_snow, ci.fbflag, False)
+
+            # below-canopy longwave: snow-covered overstory lanes receive
+            # the CANOPY's emission, not the sky's — solve_snow.c passes
+            # snow_intercept's LongOverOut out through its LongUnderIn
+            # pointer (solve_snow.c:235 &energy->canopy_latent_sub,
+            # LongUnderIn) and both snow_melt (:338) and
+            # calc_surf_energy_bal consume it
+            lw_canopy = lw_in - ci.net_long_over
+            lw_under = jnp.where(ov_snow, lw_canopy, lw_in)
 
             # ---- snow albedo aging (solve_snow.c:418-439) ------------------
             albedo_aged = snow_albedo(
@@ -433,7 +451,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 # low and warmed the pack)
                 wind=aero.wind.snow_covered,
                 vp_air=vp_air, vpd=vpd, air_dens=air_dens, pressure=pressure,
-                longwave_in=lw_in, net_short=net_short_snow, lv=le,
+                longwave_in=lw_under, net_short=net_short_snow, lv=le,
                 ra=aero.resist.snow_covered,
                 displacement=aero.displacement.snow_covered,
                 z_ref=aero.ref_height.snow_covered,
@@ -601,7 +619,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             net_short_bare = sw_under * (
                 (1.0 - (coverage + delta_cov)) * (1.0 - bare_albedo)
                 + delta_cov * (1.0 - snow_alb))
-            long_bare_in = (1.0 - coverage) * lw_in
+            long_bare_in = (1.0 - coverage) * lw_under
 
             # ts-independent evap precomputations, hoisted out of the
             # surface-T Brent iteration (physics/evap.py build_evap_pre)
@@ -665,7 +683,13 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 melt_energy=melt_energy,
                 melting=melting, net_short_bare=net_short_bare,
                 long_bare_in=long_bare_in, ts=ts, fb=fb, eb=eb,
-                eb_kwargs=eb_kwargs)
+                eb_kwargs=eb_kwargs,
+                # upward understory LW for the NEXT canopy evaluation
+                # (calc_surf_energy_bal.c:575 LongUnderOut =
+                # LongUnderIn - NetLongUnder = the sigma*T^4 blend)
+                luo_out=(coverage * c.STEFAN_B * (surf_temp + c.KELVIN) ** 4
+                         + (1.0 - coverage)
+                         * c.STEFAN_B * (ts + c.KELVIN) ** 4))
 
         # ---- CLOSE_ENERGY: canopy-air temperature fixed point --------------
         # (surface_fluxes.c:455-656 overstory loop + calc_atmos_energy_bal;
@@ -700,12 +724,13 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             # where the secant is undefined or wild take the reference's
             # damped half-step instead.
             def cond(carry):
-                tc_prev, g_prev, tc, it, conv = carry
+                tc_prev, g_prev, tc, luo, it, conv = carry
                 return jnp.logical_and(it < c.CLOSE_ENERGY_MAXITER, ~conv)
 
             def body(carry):
-                tc_prev, g_prev, tc, it, _ = carry
-                g = tc_update(column(tc, fd_cheap=True), tc)[0] - tc
+                tc_prev, g_prev, tc, luo, it, _ = carry
+                ri = column(tc, fd_cheap=True, luo=luo)
+                g = tc_update(ri, tc)[0] - tc
                 denom = g - g_prev
                 sec = g * (tc - tc_prev) / jnp.where(
                     jnp.abs(denom) < 1e-12, 1.0, denom)
@@ -714,13 +739,14 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                                             jnp.abs(sec) > 10.0))
                 tc_next = tc - jnp.where(damped, -0.5 * g, sec)
                 live = jnp.where(p.mask, jnp.abs(tc_next - tc), 0.0)
-                return (tc, g, tc_next, it + 1,
+                return (tc, g, tc_next, ri["luo_out"], it + 1,
                         jnp.max(live) <= c.OVER_TOL)
 
-            init = (tair, jnp.zeros_like(tair), tair,
+            init = (tair, jnp.zeros_like(tair), tair, state.long_under_out,
                     jnp.asarray(0, jnp.int32), jnp.asarray(False))
-            _, _, tcanopy, _, _ = jax.lax.while_loop(cond, body, init)
-            r = column(tcanopy)
+            _, _, tcanopy, luo_conv, _, _ = jax.lax.while_loop(
+                cond, body, init)
+            r = column(tcanopy, luo=luo_conv)
             tcanopy, tcanopy_fb, atmos_error = tc_update(r, tcanopy)
         else:
             tcanopy = tair
@@ -1151,6 +1177,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             cold_content=cold_content, snow_flag=snow_present,
             **cov_state,
             node_temp=node_temp, tfoliage=tfoliage_new,
+            long_under_out=r["luo_out"],
             glac_water_storage=glac_water_storage,
             # mass_balance = precip_in - water_reaching_surface - sublimation
             # (surface_fluxes_glac.c:478, m of water equivalent)

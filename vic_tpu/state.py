@@ -68,6 +68,12 @@ class ModelState:
     # energy (energy_bal_struct)
     node_temp: jnp.ndarray    # [c, h, n_node] soil node temperatures, C
     tfoliage: jnp.ndarray
+    # upward longwave from the understory surface (energy->LongUnderOut,
+    # calc_surf_energy_bal.c:575): the canopy-snow EB's below-canopy LW
+    # input for the NEXT evaluation (solve_snow.c:228). Initialized to
+    # sigma*(T[0]+KELVIN)^4 (initialize_model_state.c:291-293) and NOT part
+    # of the reference state file (re-derived on warm start).
+    long_under_out: jnp.ndarray     # [c,h] W/m^2
     # glacier (glac_data_struct)
     glac_water_storage: jnp.ndarray
     glac_cum_mass_balance: jnp.ndarray
@@ -198,6 +204,9 @@ def initial_state(domain, gp, surf_temp_init=None, dtype=jnp.float32,
         snow_max_swq=Z(), snow_swq_slope=Z(),
         snow_store_coverage=Z(),
         node_temp=node_temp, tfoliage=Z(),
+        # sigma*(T[0]+KELVIN)^4 (initialize_model_state.c:291-293)
+        long_under_out=(5.6696e-8
+                        * (node_temp[..., 0] + 273.15) ** 4).astype(dtype),
         glac_water_storage=Z(), glac_cum_mass_balance=Z(), glac_surf_temp=Z(),
         surf_temp_fbcount=jnp.zeros(sh, jnp.int32),
         snow_temp_fbcount=jnp.zeros(sh, jnp.int32),
