@@ -381,6 +381,24 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             root differences compounded into r=0.5 parity collapse.)"""
             if luo is None:
                 luo = state.long_under_out
+
+            # liquid interception evaporation for snow-free-canopy lanes
+            # (func_canopy_energy_bal.c:88-111): canopy_evap with
+            # CALC_EVAP=FALSE, Wdew = the PRE-interception dew and prec =
+            # the full rainfall — the EB's IntRain bookkeeping is REPLACED
+            # by this call's results (the Wdew pointer the reference hands
+            # the residual IS the IntRain pointer, canopy_energy_bal.h:15)
+            from .physics.evap import canopy_evap as _canopy_evap
+
+            def liquid_evap(net_rad):
+                ev, _le_l, cev, thru, wnew = _canopy_evap(
+                    moist0, ice0, B(p.wcr), B(p.wpwp), p.root, B(p.depth),
+                    wdew0_base, rainfall_base, wdmax, p.rmin, p.rgl, lai,
+                    p.rarc, net_rad, short_over_in, vpd, tca,
+                    B(p.elevation), aero.resist.canopy, dt_sec,
+                    calc_transpiration=False)
+                return ev, cev, thru, wnew
+
             # ---- overstory canopy snow interception (solve_snow.c:226 ->
             # snow_intercept.c) — computed for all lanes, applied to
             # overstory lanes in the snow path ------------------------------
@@ -392,7 +410,12 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 lai=lai, wdmax_mm=wdmax,
                 air_dens=air_dens, vp_air=vp_air, vpd=vpd, pressure=pressure,
                 le=le, tcanopy=tca,
-                net_short_over=(1.0 - veg_albedo) * short_over_in,
+                # canopy SW albedo: NEW_SNOW_ALB on the intercepted-snow
+                # branch, the HRU's bare albedo on the snow-free branch
+                # (snow_intercept.c:328,355)
+                net_short_over=(1.0 - B(p.new_snow_alb)) * short_over_in,
+                net_short_over_nosnow=(1.0 - veg_albedo) * short_over_in,
+                liquid_evap=liquid_evap,
                 long_over_in=lw_in,
                 long_under_out=luo,
                 ra_overstory=aero.resist.canopy, wind_over=aero.wind.canopy,
@@ -410,6 +433,8 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             wdew0 = jnp.where(ov_snow, ci.int_rain * 1000.0, wdew0_base)
             tfoliage_new = jnp.where(ov_snow, ci.tfoliage, tca)
             canopy_sub_mm = jnp.where(ov_snow, ci.vapor_flux * 1000.0, 0.0)
+            # liquid interception evap on snow-free-canopy overstory lanes
+            cevap_liq_mm = jnp.where(ov_snow, ci.canopy_evap_mm, 0.0)
             tfol_fb = jnp.where(ov_snow, ci.fbflag, False)
 
             # below-canopy longwave: snow-covered overstory lanes receive
@@ -668,6 +693,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 snow_canopy_new=snow_canopy_new, wdew0=wdew0,
                 tfoliage_new=tfoliage_new, canopy_sub_mm=canopy_sub_mm,
                 tfol_fb=tfol_fb, snow_alb=snow_alb,
+                cevap_liq_mm=cevap_liq_mm,
                 albedo_under=albedo_under, net_short_snow=net_short_snow,
                 sm=sm, swq=swq, surf_temp=surf_temp, pack_temp=pack_temp,
                 surf_water=surf_water, pack_water=pack_water,
@@ -757,6 +783,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
         snow_canopy_new = r["snow_canopy_new"]; wdew0 = r["wdew0"]
         tfoliage_new = r["tfoliage_new"]; canopy_sub_mm = r["canopy_sub_mm"]
         tfol_fb = r["tfol_fb"]; snow_alb = r["snow_alb"]
+        cevap_liq_mm = r["cevap_liq_mm"]
         albedo_under = r["albedo_under"]; net_short_snow = r["net_short_snow"]
         sm = r["sm"]; swq = r["swq"]; surf_temp = r["surf_temp"]
         pack_temp = r["pack_temp"]; surf_water = r["surf_water"]
@@ -845,7 +872,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             ice_new_d = ice_d if gp.dist_prcp else ice_new
 
         snow_sub_mm = vapor_flux * 1000.0  # m/step -> mm (loss positive)
-        total_evap = evap_sfree + snow_sub_mm + canopy_sub_mm
+        total_evap = evap_sfree + snow_sub_mm + canopy_sub_mm + cevap_liq_mm
 
         # ---- lake/wetland coupling (full_energy.c:714-800 + lakes.eb.c) ----
         # Runs BEFORE state assembly so the wetland recharge enters the soil
@@ -1316,8 +1343,11 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             else agg(out_snow),
             "OUT_EVAP": agg(total_evap) + lake_evap_mm,
             "OUT_EVAP_BARE": agg(jnp.where(bare, evap_sfree, 0.0)),
+            # snow-free-canopy overstory lanes evaporate intercepted
+            # liquid inside the foliage EB even while ground snow is
+            # present (func_canopy_energy_bal.c:88-111 -> put_data.c:809)
             "OUT_EVAP_CANOP": agg(jnp.where(
-                snowing, 0.0,
+                snowing, cevap_liq_mm,
                 dw(eb.canopy_evap_mm,
                    eb.canopy_evap_mm_dry if gp.dist_prcp
                    else eb.canopy_evap_mm))),

@@ -40,34 +40,63 @@ class CanopySnowResult(NamedTuple):
     latent_sub: jnp.ndarray
     sensible: jnp.ndarray
     net_long_over: jnp.ndarray
+    canopy_evap_mm: jnp.ndarray  # liquid interception evap (snow-free canopy
+    #                              over ground snow, func_canopy_energy_bal.c
+    #                              :88-111); 0 on snow-in-canopy lanes
 
 
 def canopy_energy_terms(tfoliage, *, dt, lai_ra_over, air_dens, vp_air,
                         pressure, le, tcanopy, vpd, rainfall_m,
                         net_short_over, long_over_in, long_under_out,
-                        int_rain, wind_over, z_ref, displacement, roughness):
-    """CanopyEnergyBal terms at candidate Tfoliage (snow-in-canopy branch,
-    func_canopy_energy_bal.c:30-150). lai_ra_over: overstory aero resistance
-    already x10 for snow smoothing (AR_406* family)."""
+                        int_rain, wind_over, z_ref, displacement, roughness,
+                        has_csnow=None, ra_plain=None, liquid_evap=None):
+    """CanopyEnergyBal terms at candidate Tfoliage
+    (func_canopy_energy_bal.c:30-150). lai_ra_over: overstory aero
+    resistance already x10 for snow smoothing (AR_406* family).
+
+    has_csnow/ra_plain/liquid_evap: snow-free-canopy branch support
+    (IntSnow == 0, func_canopy_energy_bal.c:88-111): the latent term comes
+    from the liquid interception evaporation canopy_evap(CALC_EVAP=FALSE)
+    at the unmodified overstory resistance (AR_406_FULL default:
+    Ra.canopyIfOverstory), entered into the residual with the reference's
+    own POSITIVE sign (+Le*Evap*rho_w, :110 — replicated as-is), and no
+    refreeze/melt handling. liquid_evap(net_rad) -> (evap_mm, cevap_mm,
+    throughfall_mm, wdew_new_mm)."""
     tkelv = tfoliage + c.KELVIN
     long_over_out = c.STEFAN_B * tkelv ** 4
     net_rad = (net_short_over + long_over_in + long_under_out
                - 2.0 * long_over_out)
     net_long_over = long_over_in - long_over_out
 
-    ra_over = jnp.where(
+    ra_snow = jnp.where(
         wind_over > 0.0,
         lai_ra_over / stability_correction(z_ref, displacement, tfoliage,
                                            tcanopy, wind_over, roughness),
         c.HUGE_RESIST)
 
     es = svp(tfoliage)
-    vmf = air_dens * (c.EPS_RATIO / pressure) * (vp_air - es) / ra_over / c.RHO_W
+    vmf = air_dens * (c.EPS_RATIO / pressure) * (vp_air - es) / ra_snow / c.RHO_W
     vmf = jnp.where(jnp.logical_and(vpd == 0.0, vmf < 0.0), 0.0, vmf)
     ls = (677.0 - 0.07 * tfoliage) * c.JOULES_PER_CAL * c.GRAMS_PER_KG
-    latent_sub = ls * vmf * c.RHO_W
-    latent = jnp.zeros_like(latent_sub)
-    vapor_flux = vmf * dt  # m/step
+    latent_sub_snow = ls * vmf * c.RHO_W
+
+    if liquid_evap is not None and has_csnow is not None:
+        evap_mm, cevap_mm, thru_mm, wdew_mm = liquid_evap(net_rad)
+        # Le(J/kg) * Evap(m/s) * rho_w(kg/m3) = W/m2
+        latent_liq = le * (evap_mm / 1000.0 / dt) * c.RHO_W
+        snowb = has_csnow
+        latent = jnp.where(snowb, 0.0, latent_liq)
+        latent_sub = jnp.where(snowb, latent_sub_snow, 0.0)
+        vapor_flux = jnp.where(snowb, vmf * dt, 0.0)
+        ra_over = jnp.where(snowb, ra_snow, ra_plain)
+        cevap_mm = jnp.where(snowb, 0.0, cevap_mm)
+    else:
+        latent = jnp.zeros_like(latent_sub_snow)
+        latent_sub = latent_sub_snow
+        vapor_flux = vmf * dt  # m/step
+        ra_over = ra_snow
+        cevap_mm = jnp.zeros_like(latent_sub_snow)
+        thru_mm = wdew_mm = None
 
     sensible = air_dens * c.CP * (tcanopy - tfoliage) / ra_over
     advected = 4186.8 * tcanopy * rainfall_m / dt
@@ -75,11 +104,18 @@ def canopy_energy_terms(tfoliage, *, dt, lai_ra_over, air_dens, vp_air,
 
     rest = sensible + latent + latent_sub + net_rad + advected
     melt_branch = jnp.logical_and(tfoliage == 0.0, rest > -refreeze)
+    if has_csnow is not None:
+        melt_branch = jnp.logical_and(melt_branch, has_csnow)
+        rest_plus = jnp.where(has_csnow, rest + refreeze, rest)
+    else:
+        rest_plus = rest + refreeze
     refreeze_out = jnp.where(melt_branch, -rest, refreeze)
-    rest_out = jnp.where(melt_branch, 0.0, rest + refreeze)
+    rest_out = jnp.where(melt_branch, 0.0, rest_plus)
     return dict(rest=rest_out, refreeze=refreeze_out, vapor_flux=vapor_flux,
                 latent=latent, latent_sub=latent_sub, sensible=sensible,
-                net_long_over=net_long_over, advected=advected)
+                net_long_over=net_long_over, advected=advected,
+                canopy_evap_mm=cevap_mm, liq_throughfall_mm=thru_mm,
+                liq_wdew_mm=wdew_mm)
 
 
 def mass_release(int_snow, temp_int_storage, n_iter: int = 8):
@@ -117,10 +153,21 @@ def snow_intercept(*, snowfall_mm, rainfall_mm, int_snow_m, int_rain_m,
                    air_dens, vp_air, vpd, pressure, le, tcanopy,
                    net_short_over, long_over_in, long_under_out,
                    ra_overstory, wind_over, z_ref, displacement, roughness,
-                   dt_sec, f_cover=1.0, max_iter: int = 30
-                   , active_mask=None) -> CanopySnowResult:
+                   dt_sec, f_cover=1.0, max_iter: int = 30,
+                   active_mask=None, net_short_over_nosnow=None,
+                   liquid_evap=None) -> CanopySnowResult:
     """Snow interception + foliage energy balance for overstory lanes
     (snow_intercept.c:81-500). All *_mm inputs in mm/step; canopy storages in m.
+
+    Branches per snow_intercept.c:324-361: lanes whose canopy carries (or
+    is receiving) snow solve the intercepted-snow EB (two-pass 0C + Brent
+    on [Tfol-SNOW_DT, min(Tfol+SNOW_DT, 0)], melt/drip/refreeze epilogue);
+    snow-FREE-canopy lanes (ground snow under a bare forest) solve the
+    same foliage EB on the uncapped bracket with the latent term from the
+    liquid interception evaporation (func_canopy_energy_bal.c:88-111) —
+    net_short_over_nosnow is that branch's (1-bare_albedo) canopy SW
+    (*AlbedoOver = bare_albedo, snow_intercept.c:355) and liquid_evap the
+    canopy_evap(CALC_EVAP=FALSE) closure.
     """
     snowfall = snowfall_mm / 1000.0
     rainfall = rainfall_mm / 1000.0
@@ -174,24 +221,40 @@ def snow_intercept(*, snowfall_mm, rainfall_mm, int_snow_m, int_rain_m,
     int_snow = int_snow - over * (1.0 - frac_rain)
 
     # --- foliage energy balance (two-pass 0C + Brent) ---
+    # branch selector (snow_intercept.c:324): canopy snow present or
+    # arriving -> intercepted-snow EB; else the snow-free-canopy EB
+    has_csnow = jnp.logical_or(int_snow > 0.0, snowfall > 0.0)
+    if net_short_over_nosnow is not None:
+        ns_over = jnp.where(has_csnow, net_short_over, net_short_over_nosnow)
+    else:
+        ns_over = net_short_over
     term_kwargs = dict(
         dt=dt_sec, lai_ra_over=ra_overstory * 10.0, air_dens=air_dens,
         vp_air=vp_air, pressure=pressure, le=le, tcanopy=tcanopy, vpd=vpd,
-        rainfall_m=rainfall, net_short_over=net_short_over,
+        rainfall_m=rainfall, net_short_over=ns_over,
         long_over_in=long_over_in, long_under_out=long_under_out,
         int_rain=int_rain, wind_over=wind_over, z_ref=z_ref,
         displacement=displacement, roughness=roughness)
+    if liquid_evap is not None:
+        term_kwargs.update(has_csnow=has_csnow, ra_plain=ra_overstory,
+                           liquid_evap=liquid_evap)
 
     t0 = canopy_energy_terms(jnp.zeros_like(tfoliage_old), **term_kwargs)
-    melt_cond = t0["rest"] == 0.0
+    # melt pass only exists on the snow branch (Qnet at T=0,
+    # snow_intercept.c:341-350); snow-free lanes always iterate
+    melt_cond = jnp.logical_and(t0["rest"] == 0.0, has_csnow)
 
     def resid(t):
         return canopy_energy_terms(t, **term_kwargs)["rest"]
 
     brent_active = ~melt_cond if active_mask is None else \
         jnp.logical_and(~melt_cond, active_mask)
-    res = batched_brent(resid, tfoliage_old - c.SNOW_DT,
+    # snow branch caps the bracket at 0 C (snow_intercept.c:345-347);
+    # snow-free branch uses the symmetric bracket (:358-360)
+    t_upper = jnp.where(has_csnow,
                         jnp.minimum(tfoliage_old + c.SNOW_DT, 0.0),
+                        tfoliage_old + c.SNOW_DT)
+    res = batched_brent(resid, tfoliage_old - c.SNOW_DT, t_upper,
                         max_iter=max_iter, max_tries=1, active=brent_active)
     t_cold = jnp.where(res.converged, res.root, tfoliage_old)
     fbflag = jnp.logical_and(~melt_cond, ~res.converged)
@@ -243,6 +306,21 @@ def snow_intercept(*, snowfall_mm, rainfall_mm, int_snow_m, int_rain_m,
     snow_thru_total = snow_thru + released
     tstore = jnp.where(melting, temp_int_storage + melt_eff, 0.0)
 
+    cevap_mm = terms["canopy_evap_mm"]
+    if liquid_evap is not None:
+        # snow-free-canopy lanes: the liquid interception bookkeeping is
+        # canopy_evap's (run inside the EB residual) — its throughfall
+        # REPLACES the interception result and its Wdew becomes IntRain
+        # (snow_intercept.c:424-425; veg_var->Wdew carries out)
+        nb = ~has_csnow
+        rain_thru_total = jnp.where(
+            nb, terms["liq_throughfall_mm"] / 1000.0, rain_thru_total)
+        int_rain = jnp.where(nb, terms["liq_wdew_mm"] / 1000.0, int_rain)
+        int_snow = jnp.where(nb, 0.0, int_snow)
+        tstore = jnp.where(nb, 0.0, tstore)
+        cevap_mm = jnp.where(nb, cevap_mm, 0.0)
+    vflux = jnp.where(has_csnow, vflux, 0.0)
+
     return CanopySnowResult(
         int_snow=int_snow, int_rain=int_rain,
         snow_throughfall=snow_thru_total, rain_throughfall=rain_thru_total,
@@ -250,4 +328,5 @@ def snow_intercept(*, snowfall_mm, rainfall_mm, int_snow_m, int_rain_m,
         temp_int_storage=tstore,
         fbflag=fbflag, latent=terms["latent"],
         latent_sub=terms["latent_sub"], sensible=terms["sensible"],
-        net_long_over=terms["net_long_over"])
+        net_long_over=terms["net_long_over"],
+        canopy_evap_mm=cevap_mm)
