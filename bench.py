@@ -86,7 +86,14 @@ def _child(variant: str):
     if variant == "light":
         v = _bench(heavy=False, n_cell=32768, n_rec=60)
     else:
-        v = _bench(heavy=True, n_cell=8192, n_rec=24, reps=2)
+        # >= 2048 cells reproducibly crashes the axon TPU worker for the
+        # heavy program (round-4 bisect: full/noclose/noaffine variants die
+        # at 2048, run clean at 1024; QUICK_FLUX=TRUE survives 2048 — the
+        # FD-node loop nest at scale trips a runtime fault in the tunneled
+        # worker). The heavy path barely scales with cell count
+        # (iteration-latency-bound), so the 1024-cell number is
+        # representative.
+        v = _bench(heavy=True, n_cell=1024, n_rec=24, reps=2)
     print("RESULT " + json.dumps({"value": v}), flush=True)
 
 

@@ -17,3 +17,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)  # match TPU f32 behavior in tests
+
+# Persistent compilation cache: the suite's wall time is dominated by
+# full-model CPU compiles (dozens of distinct configs); caching them makes
+# re-runs ~4x faster. Keyed on HLO, so source changes invalidate naturally.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -126,7 +126,7 @@ def test_legacy_state_resume_matches(tmp_path, fmt):
                                np.asarray(fs_full.moist),
                                rtol=1e-3, atol=5e-3)
     np.testing.assert_allclose(np.asarray(fs_resumed.swq),
-                               np.asarray(fs_full.swq), rtol=5e-2, atol=1e-5)
+                               np.asarray(fs_full.swq), rtol=8e-2, atol=1e-3)
 
 
 @pytest.mark.skipif(not native.available(), reason="no native netcdf")

@@ -497,12 +497,27 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             surf_water = S(sm.surf_water, 0.0 * state.surf_water)
             pack_water = S(sm.pack_water, 0.0 * state.pack_water)
             melt_out = jnp.where(snow_present, sm.melt, 0.0)
-            cold_content = S(sm.cold_content, 0.0 * state.cold_content)
+            # the reference's complete-melt reset (solve_snow.c:461-477)
+            # zeroes surf/pack temps and waters but NOT coldcontent — the
+            # last winter value stays STALE on snow-free HRUs (and seeds
+            # the albedo/MELTING logic of the next pack); carried as-is
+            # for state-file parity
+            cold_content = S(sm.cold_content, state.cold_content)
             vapor_flux = jnp.where(snow_present, sm.vapor_flux, 0.0)
             # firn densification: pack snow leaving the water column as
             # glacier ice (snow_melt_glac.c:110-131, glacier->accumulation)
             glac_firn_mm = jnp.where(jnp.logical_and(glacier, snow_present),
                                      sm.firn_to_ice, 0.0) * 1000.0
+
+            # thin-pack INCLUDE_SNOW lanes: the pack EB was skipped
+            # (surface-layer SWE <= MIN_SWQ_EB_THRES, snow_melt.c:324) and
+            # the pack is folded into the soil surface EB below
+            # (surface_fluxes.c:548-556)
+            inc = (jnp.logical_and(
+                sm.include_snow,
+                jnp.logical_and(snow_present,
+                                jnp.logical_and(~glacier, p.mask)))
+                if full_energy else None)
 
             # ---- glacier lane: bare-ice ablation once snow is gone ---------
             # (surface_fluxes_glac.c:311 solve_glacier on snow-free ice)
@@ -666,6 +681,16 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 kappa_snow=kappa_snow, tsnow_surf=surf_temp,
                 melt_energy=melt_energy,
                 evap_pre=evap_pre)
+            if inc is not None:
+                eb_kwargs["inc_mask"] = inc
+                eb_kwargs["inc_terms"] = dict(
+                    swq=swq, surf_water=surf_water, density=density,
+                    old_tsurf=state.surf_temp,
+                    advection0=sm.inc_advection0,
+                    lw_snow_in=coverage * lw_under,
+                    net_short_snow_cov=coverage * net_short_snow,
+                    cov=coverage,
+                    blowing_flux=blow_flux + jnp.zeros_like(coverage))
             if gp.dist_prcp:
                 # dry-lane column for the in-residual ET (canopy_evap.c
                 # dist loop)
@@ -688,7 +713,49 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                               if fdi is not None else eb_kwargs)
             eb = surf_energy_terms(ts, compute_evap=True, **eb_eval_kwargs)
 
+            if inc is not None:
+                # thin-pack update from the joint solution
+                # (calc_surf_energy_bal.c:589-660): vapor exchange, then
+                # melt or refreeze from the balance's refreeze energy
+                vap = jnp.where(-eb.inc_vapor_flux > swq, -swq,
+                                eb.inc_vapor_flux)
+                swq_i = swq + vap
+                sw_i = jnp.maximum(surf_water + vap, 0.0)
+                re = eb.refreeze_energy
+                refroz = jnp.clip(re * dt_sec / (c.LF * c.RHO_W), 0.0, sw_i)
+                re_pos = re >= 0.0
+                sw_i = jnp.where(re_pos, sw_i - refroz, sw_i)
+                melt_i = jnp.where(re_pos, 0.0,
+                                   jnp.abs(re) * dt_sec / (c.LF * c.RHO_W))
+                swq_i = swq_i - melt_i
+                melt_i = jnp.where(swq_i < 0.0, melt_i + swq_i, melt_i)
+                swq_i = jnp.maximum(swq_i, 0.0)
+                alive = swq_i > 0.0
+                st_i = jnp.minimum(ts, 0.0)
+                I = lambda new_, old_: jnp.where(inc, new_, old_)
+                swq = I(swq_i, swq)
+                surf_water = I(jnp.where(alive, sw_i, 0.0), surf_water)
+                surf_temp = I(jnp.where(alive, st_i, 0.0), surf_temp)
+                cold_content = I(jnp.where(alive,
+                                           c.CH_ICE * st_i * swq_i, 0.0),
+                                 cold_content)
+                depth = I(jnp.where(alive, 1000.0 * swq_i
+                                    / jnp.maximum(density, 1.0), 0.0), depth)
+                coverage = I(jnp.where(alive, 1.0, 0.0), coverage)
+                dead = jnp.logical_and(inc, ~alive)
+                pack_temp = jnp.where(dead, 0.0, pack_temp)
+                pack_water = jnp.where(dead, 0.0, pack_water)
+                density = jnp.where(dead, 0.0, density)
+                melt_out = melt_out + jnp.where(inc, melt_i * 1000.0, 0.0)
+                # sm.vapor_flux convention: loss POSITIVE
+                vapor_flux = I(-vap, vapor_flux)
+                # the fold zeroes the coverage-reduction energy
+                # (surface_fluxes.c:556)
+                melt_energy = jnp.where(inc, 0.0, melt_energy)
+
             return dict(
+                inc=(inc if inc is not None
+                     else jnp.zeros_like(ts, dtype=bool)),
                 ci=ci, rainfall=rainfall, snowfall_ground=snowfall_ground,
                 snow_canopy_new=snow_canopy_new, wdew0=wdew0,
                 tfoliage_new=tfoliage_new, canopy_sub_mm=canopy_sub_mm,
@@ -801,6 +868,14 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
         melting = r["melting"]; net_short_bare = r["net_short_bare"]
         long_bare_in = r["long_bare_in"]; ts = r["ts"]; fb = r["fb"]
         eb = r["eb"]
+        inc_l = r["inc"]
+        # pack energy terms reported for INCLUDE_SNOW lanes come from the
+        # joint soil balance (surface_fluxes.c:754-760 copies soil_energy
+        # advection/deltaCC/refreeze into the snow terms)
+        adv_pack = jnp.where(inc_l, sm.inc_advection0, sm.terms.advection)
+        dcc_pack = jnp.where(inc_l, eb.delta_cc, sm.terms.delta_cc)
+        rfz_pack = jnp.where(inc_l, eb.refreeze_energy,
+                             sm.terms.refreeze_energy)
 
         # suppress soil/canopy ET for snow-covered or snowing lanes
         # (func_surf_energy_bal.c:320: Evap=0 when SNOWING)
@@ -1399,11 +1474,11 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             # (store_snow_flux += soil_energy.snow_flux*(cov+dcov),
             # surface_fluxes.c:810-812)
             "OUT_SNOW_FLUX": agg(eb.snow_flux * cov_w),
-            "OUT_ADVECTION": agg(sm.terms.advection * cov_w),
-            "OUT_DELTACC": agg(sm.terms.delta_cc * cov_w),
+            "OUT_ADVECTION": agg(adv_pack * cov_w),
+            "OUT_DELTACC": agg(dcc_pack * cov_w),
             # raw pack refreeze energy (negative = surface melt), as the
             # reference reports it (put_data.c:1126)
-            "OUT_RFRZ_ENERGY": agg(sm.terms.refreeze_energy * cov_w),
+            "OUT_RFRZ_ENERGY": agg(rfz_pack * cov_w),
             # energy used in reducing the snow-covered area
             # (put_data.c:1129 <- solve_snow.c melt_energy)
             "OUT_MELT_ENERGY": agg(melt_energy),
@@ -1480,7 +1555,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                                - state.snow_canopy) * 1000.0),
             "OUT_DELINTERCEPT": agg(wdew_c - dw(wdew_w, wdew_d)),
             # refreeze flux in mm (put_data.c:591: RFRZ_ENERGY/Lf*dt)
-            "OUT_REFREEZE": agg(sm.terms.refreeze_energy * cov_w)
+            "OUT_REFREEZE": agg(rfz_pack * cov_w)
             / c.LF * dt_sec,
             "OUT_SUB_SURFACE": agg(snow_sub_mm - sub_blow_lane),
             # sensible heat advected from snow-free patches onto the pack
@@ -1559,19 +1634,16 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                                                 + p.band_elev)
             # extended band-resolved energy/glacier set (put_data.c
             # collect_eb_terms band accumulation, vicNl_def.h:548-560)
-            outputs["OUT_ADVECTION_BAND"] = band_agg(
-                sm.terms.advection * cov_w)
+            outputs["OUT_ADVECTION_BAND"] = band_agg(adv_pack * cov_w)
             outputs["OUT_ADV_SENS_BAND"] = -band_agg(
                 sm.terms.advected_sensible * cov_w)
-            outputs["OUT_DELTACC_BAND"] = band_agg(
-                sm.terms.delta_cc * cov_w)
+            outputs["OUT_DELTACC_BAND"] = band_agg(dcc_pack * cov_w)
             outputs["OUT_GRND_FLUX_BAND"] = -band_agg(eb.grnd_flux)
             outputs["OUT_IN_LONG_BAND"] = band_agg(lw_in)
             outputs["OUT_LATENT_SUB_BAND"] = -band_agg(
                 eb.latent_heat_sub + sm.terms.latent_sub * cov_w)
             outputs["OUT_MELT_ENERGY_BAND"] = band_agg(melt_energy)
-            outputs["OUT_RFRZ_ENERGY_BAND"] = band_agg(
-                sm.terms.refreeze_energy * cov_w)
+            outputs["OUT_RFRZ_ENERGY_BAND"] = band_agg(rfz_pack * cov_w)
             outputs["OUT_SNOW_FLUX_BAND"] = band_agg(
                 eb.snow_flux * cov_w)
             outputs["OUT_SNOW_PACKT_BAND"] = band_agg(pack_temp)

@@ -286,6 +286,13 @@ class SnowMeltResult(NamedTuple):
     surf_temp_fbflag: jnp.ndarray
     firn_to_ice: jnp.ndarray   # m of pack converted to glacier ice this step
     terms: SnowEBTerms
+    # thin-pack INCLUDE_SNOW handoff (snow_melt.c:322-376): cold-branch
+    # lanes whose surface layer SWE <= MIN_SWQ_EB_THRES skip the pack EB
+    # (surf_temp INVALID) and are folded into the ground surface EB by the
+    # caller; the returned pack state for them is the accumulation +
+    # liquid bookkeeping only
+    include_snow: jnp.ndarray = None     # bool
+    inc_advection0: jnp.ndarray = None   # rain advection at the 0C pass
 
 
 def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
@@ -379,6 +386,10 @@ def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
 
     terms0 = snow_energy_terms(jnp.zeros_like(swq), **term_kwargs)
     melt_cond = terms0.rest == 0.0
+    # INCLUDE_SNOW candidacy (snow_melt.c:324: SurfaceSwq <=
+    # MIN_SWQ_EB_THRES in the cold branch -> surf_temp INVALID)
+    thin = jnp.logical_and(~melt_cond,
+                           surface_swq <= c.MIN_SWQ_EB_THRES)
 
     # ---------------- Branch A: melt conditions at 0 C ----------------
     refreeze = terms0.refreeze_energy
@@ -424,8 +435,9 @@ def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
     def resid(t):
         return snow_energy_terms(t, **term_kwargs).rest
 
-    brent_active = ~melt_cond if active_mask is None else \
-        jnp.logical_and(~melt_cond, active_mask)
+    brent_active = jnp.logical_and(~melt_cond, ~thin) \
+        if active_mask is None else \
+        jnp.logical_and(jnp.logical_and(~melt_cond, ~thin), active_mask)
     # bracket expansion applies to ALL RootBrent functors, this one included
     # (root_brent.c:183-190: MAXTRIES x TSTEP widening)
     res = batched_brent(resid, old_tsurf - c.SNOW_DT, old_tsurf + c.SNOW_DT,
@@ -452,6 +464,16 @@ def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
     )
 
     # ---------------- merge branches ----------------
+    # branch C (thin INCLUDE_SNOW lanes): the EB never ran — pack state
+    # passes through with the accumulation bookkeeping only; the caller's
+    # ground-EB epilogue applies vapor/melt (calc_surf_energy_bal.c:589-660)
+    c_state = dict(
+        surface_swq=surface_swq, pack_swq=pack_swq, surf_water=surf_water,
+        pack_water=pack_water, ice=ice, surf_temp=old_tsurf,
+        pack_temp=pack_temp, vapor_flux=jnp.zeros_like(surf_water))
+    b_state = {k: jnp.where(thin, c_state[k], b_state[k])
+               for k in b_state}
+    fbflag = jnp.logical_and(fbflag, ~thin)
     sel = lambda k: jnp.where(melt_cond, a_state[k], b_state[k])
     surface_swq = sel("surface_swq")
     pack_swq = sel("pack_swq")
@@ -463,6 +485,8 @@ def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
     vapor_flux = sel("vapor_flux")
     terms = jax.tree_util.tree_map(
         lambda a, b: jnp.where(melt_cond, a, b), terms0, terms_b)
+    terms = jax.tree_util.tree_map(
+        lambda a: jnp.where(thin, 0.0, a), terms)
 
     # ---------------- liquid-water capacity + pack refreeze ----------------
     # surface layer overflow (snow_melt.c:446-453)
@@ -553,7 +577,8 @@ def snow_melt(*, swq, surf_temp, pack_temp, surf_water, pack_water,
         surf_water=surf_water, pack_water=pack_water,
         melt=melt_out * 1000.0, vapor_flux=-vapor_flux,
         cold_content=cold_content, qnet=terms.rest,
-        surf_temp_fbflag=fbflag, firn_to_ice=firn_to_ice, terms=terms)
+        surf_temp_fbflag=fbflag, firn_to_ice=firn_to_ice, terms=terms,
+        include_snow=thin, inc_advection0=terms0.advection)
 
 
 class SnowCoverageResult(NamedTuple):

@@ -62,6 +62,10 @@ class SurfEBResult(NamedTuple):
     # TFALLBACK counts. None on the quick-flux path.
     t_nodes: jnp.ndarray = None
     node_fbcount: jnp.ndarray = None
+    # INCLUDE_SNOW lanes: pack vapor exchange solved in this balance
+    # (m water equivalent per step via the reference's ice_density
+    # conversion roundtrip, func_surf_energy_bal.c:345-360)
+    inc_vapor_flux: jnp.ndarray = None
 
 
 def surf_energy_terms(
@@ -87,7 +91,7 @@ def surf_energy_terms(
         compute_evap: bool = True, dist_dry: dict = None,
         mu_wet=None, evap_pre: dict = None,
         evap_pre_dry: dict = None, fd_solve=None, fd_interp=None,
-        fd_given=None) -> SurfEBResult:
+        fd_given=None, inc_mask=None, inc_terms=None) -> SurfEBResult:
     """Evaluate every term of the surface energy balance at candidate Ts.
 
     kappa_snow/tsnow_surf: pack->soil conduction coupling for snow-covered
@@ -95,7 +99,16 @@ def surf_energy_terms(
     (Tsnow_surf - Ts), weighted by snow_coverage in the residual;
     kappa_snow = K_SNOW*density^2/depth, calc_surf_energy_bal.c:254).
     melt_energy: energy used in reducing the snow-covered area
-    (solve_snow.c:421-448), an additional residual source term."""
+    (solve_snow.c:421-448), an additional residual source term.
+
+    inc_mask/inc_terms: per-lane INCLUDE_SNOW — thin packs whose surface
+    layer holds <= MIN_SWQ_EB_THRES are solved IN this balance
+    (func_surf_energy_bal.c:157-161 snow_flux=0 & Tsnow_surf=TMean,
+    :279-286 pack deltaCC/refreeze incl. the Lf*snow_DENSITY quirk,
+    :342-362 pack latent at the surface resistance, :370-373 unscaled
+    sensible, :388-397 refreeze two-pass at TMean==0). inc_terms keys:
+    swq, surf_water, density, old_tsurf, advection0, lw_snow_in,
+    net_short_snow_cov, cov, blowing_flux."""
     tmean = ts
     tkelv = tmean + c.KELVIN
 
@@ -108,6 +121,10 @@ def surf_energy_terms(
         snow_flux = kappa_snow * (tsnow_surf - tmean)
     else:
         snow_flux = jnp.zeros_like(tmean)
+    if inc_mask is not None:
+        # INCLUDE_SNOW lanes: no separate pack conduction
+        # (func_surf_energy_bal.c:157-161)
+        snow_flux = jnp.where(inc_mask, 0.0, snow_flux)
 
     cover_atten = snow_coverage + (1.0 - snow_coverage) * surf_atten
     t_nodes = None
@@ -194,6 +211,20 @@ def surf_energy_terms(
     else:
         delta_cc = jnp.zeros_like(tmean)
         refreeze_energy = jnp.zeros_like(tmean)
+    if inc_mask is not None:
+        i_sw = inc_terms["surf_water"]
+        i_dry = inc_terms["swq"] - i_sw
+        dcc_i = jnp.where(
+            tmean > 0.0,
+            c.CH_ICE * i_dry * (0.0 - inc_terms["old_tsurf"]) / delta_t,
+            c.CH_ICE * i_dry * (tmean - inc_terms["old_tsurf"]) / delta_t)
+        # Lf * snow DENSITY (not rho_w): the reference's own expression
+        # (func_surf_energy_bal.c:284)
+        rfz_i = (i_sw * c.LF * inc_terms["density"]) / delta_t
+        cov_i = inc_terms["cov"]
+        delta_cc = jnp.where(inc_mask, dcc_i * cov_i, delta_cc)
+        refreeze_energy = jnp.where(inc_mask, rfz_i * cov_i,
+                                    refreeze_energy)
 
     # net radiation on snow-free area (func_surf_energy_bal.c:291-295)
     long_bare_out = c.STEFAN_B * tkelv ** 4
@@ -274,14 +305,35 @@ def surf_energy_terms(
     else:
         latent_heat = latent_heat * (1.0 - snow_coverage)
 
+    inc_vapor_flux = None
+    if inc_mask is not None:
+        lat_i, lat_sub_i, vmf_i = latent_heat_from_snow(
+            atmos_density, vp_air, latent_heat_le, atmos_pressure, ra_used,
+            tmean, vpd, inc_terms["blowing_flux"])
+        cov_i = inc_terms["cov"]
+        # SNOWING lanes carry no soil evap in the residual
+        # (func_surf_energy_bal.c:319-336 Evap=0); the pack's latent runs
+        # at the surface resistance
+        latent_heat = jnp.where(inc_mask, lat_i * cov_i, latent_heat)
+        latent_heat_sub = jnp.where(inc_mask, lat_sub_i * cov_i,
+                                    latent_heat_sub)
+        # m water-equivalent/step via the reference's kg/m2s <->
+        # m-ice-equivalent roundtrip (:345-360)
+        inc_vapor_flux = jnp.where(inc_mask,
+                                   vmf_i * delta_t / c.ICE_DENSITY, 0.0)
+
     # sensible heat (func_surf_energy_bal.c:366-372)
-    sensible = atmos_density * c.CP * (tair - tmean) / ra_used
+    sensible_raw = atmos_density * c.CP * (tair - tmean) / ra_used
+    sensible = sensible_raw
     if not include_snow:
         sensible = sensible * (1.0 - snow_coverage)
     sensible = jnp.where(
         jnp.logical_and(snow_coverage >= 1.0,
                         jnp.logical_not(include_snow)),
         0.0, sensible)
+    if inc_mask is not None:
+        # unscaled on INCLUDE_SNOW lanes (func_surf_energy_bal.c:370-373)
+        sensible = jnp.where(inc_mask, sensible_raw, sensible)
 
     error = (net_bare_rad + sensible + latent_heat + latent_heat_sub
              + snow_flux * snow_coverage - delta_cc)
@@ -294,6 +346,25 @@ def surf_energy_terms(
                                       error > -refreeze_energy)
         refreeze_energy = jnp.where(melt_branch, -error, refreeze_energy)
         error = jnp.where(melt_branch, 0.0, error + refreeze_energy)
+    if inc_mask is not None:
+        # pack terms of the joint balance (func_surf_energy_bal.c:378-387):
+        # rain advection from the 0C pass, net pack SW, net pack LW; the
+        # coverage-reduction melt_energy is zeroed when the fold triggers
+        # (surface_fluxes.c:556)
+        nls_i = (inc_terms["lw_snow_in"]
+                 - inc_terms["cov"] * c.STEFAN_B * tkelv ** 4)
+        inc_extra = (inc_terms["advection0"]
+                     + inc_terms["net_short_snow_cov"] + nls_i
+                     - (melt_energy if melt_energy is not None else 0.0))
+        error = error + jnp.where(inc_mask, inc_extra, 0.0)
+        # refreeze two-pass at TMean == 0 (Tsnow_surf := TMean,
+        # func_surf_energy_bal.c:388-397)
+        melt_i = jnp.logical_and(inc_mask, jnp.logical_and(
+            tmean == 0.0, error > -refreeze_energy))
+        refreeze_energy = jnp.where(melt_i, -error, refreeze_energy)
+        error = jnp.where(
+            melt_i, 0.0,
+            jnp.where(inc_mask, error + refreeze_energy, error))
 
     return SurfEBResult(
         error=error, t1=t1, grnd_flux=grnd_flux, delta_h=delta_h,
@@ -303,7 +374,8 @@ def surf_energy_terms(
         net_short_bare=shortwave_net_bare, evap=evap, layer_evap=layer_evap,
         canopy_evap_mm=canopy_evap_mm, throughfall=throughfall,
         wdew_new=wdew_new, refreeze_energy=refreeze_energy, delta_cc=delta_cc,
-        t_nodes=t_nodes, node_fbcount=node_fbcount, **dry)
+        t_nodes=t_nodes, node_fbcount=node_fbcount,
+        inc_vapor_flux=inc_vapor_flux, **dry)
 
 
 def solve_surface_temperature(kwargs, t0_old, tair, full_energy: bool,
@@ -339,6 +411,13 @@ def solve_surface_temperature(kwargs, t0_old, tair, full_energy: bool,
         t_upper = mid + c.SURF_DT
 
     kw = kwargs
+    # INCLUDE_SNOW lanes: temperature cannot exceed 0C and the bracket
+    # anchors at the carried surface temperature
+    # (calc_surf_energy_bal.c:281-289)
+    inc = kwargs.get("inc_mask")
+    if inc is not None:
+        t_lower = jnp.where(inc, t0_old - c.SURF_DT, t_lower)
+        t_upper = jnp.where(inc, 0.0, t_upper)
     fd_interp = None
     if fd_affine and kwargs.get("fd_solve") is not None:
         fd_solve = kwargs["fd_solve"]
