@@ -837,13 +837,15 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
 
             init = (tair, jnp.zeros_like(tair), tair, state.long_under_out,
                     jnp.asarray(0, jnp.int32), jnp.asarray(False))
-            _, _, tcanopy, luo_conv, _, _ = jax.lax.while_loop(
+            _, _, tcanopy, luo_conv, close_iters, _ = jax.lax.while_loop(
                 cond, body, init)
             r = column(tcanopy, luo=luo_conv)
             tcanopy, tcanopy_fb, atmos_error = tc_update(r, tcanopy)
+            close_iters_out = close_iters
         else:
             tcanopy = tair
             r = column(tair)
+            close_iters_out = jnp.asarray(0, jnp.int32)
 
         ci = r["ci"]; rainfall = r["rainfall"]
         snowfall_ground = r["snowfall_ground"]
@@ -1434,6 +1436,10 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             "OUT_SUB_BLOWING": agg(sub_blow_lane),
             "OUT_TFOL_FBFLAG": agg(tfol_fb.astype(ts.dtype)),
             "OUT_TCAN_FBFLAG": agg(tcanopy_fb.astype(ts.dtype)),
+            # CLOSE_ENERGY fixed-point trip count this record (max over
+            # lanes; TPU cost telemetry — every lane pays it)
+            "OUT_TCANOPY_ITER": jnp.broadcast_to(
+                close_iters_out.astype(ts.dtype), cell_runoff.shape),
             "OUT_TCANOPY": agg(tcanopy),
             # snow-free overstory reports Tfoliage, else the radiative
             # surface temperature (put_data.c:1030-1036)

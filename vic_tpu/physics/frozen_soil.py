@@ -436,7 +436,53 @@ def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
                          + C[..., j] * (tl + tu) - D[..., j] * (tl - tu)
                          + E[..., j] * (0.0 - ice0_node[..., j])) / (
                     A[..., j] + 2.0 * C[..., j])
-            if frozen:
+            nl_static = (params.depth.shape[-1]
+                         if hasattr(params, "depth") else 0)
+            quirk_linear = (frozen and ice_quirk
+                            and geom.solver_max_moist is not None
+                            and j < nl_static)
+            if quirk_linear:
+                # With the reference's layer-units ice bug active
+                # (solver_* arrays carry per-LAYER mm values for nodes
+                # < Nlayer), the in-iteration ice term is identically zero
+                # for every reachable T, so the node residual is LINEAR
+                # (node 1: piecewise-linear via the cold-nose patch whose
+                # f1 term is T-independent). The bisection's limit is the
+                # CLOSED-FORM root — computed directly, cutting the
+                # 12-endpoint + 24-bisection sequential chain to two
+                # residual evaluations for the bracket test. The TFALLBACK
+                # semantics (unbracketed across the widest expansion ->
+                # pin at T0) are preserved exactly for the monotone case.
+                tl = T[..., j + 1]
+                tu = T[..., j - 1]
+                denom = A[..., j] + C[..., j] + D[..., j] \
+                    if not exp_trans else A[..., j] + 2.0 * C[..., j]
+                r0 = t_lin
+                if j == 1:
+                    # cold-nose branch root (residual minus the f1 term)
+                    f1 = B[..., j] * (tl - tu)
+                    r1 = t_lin - f1 / denom
+                    f2_r1 = C[..., j] * (tl - r1) - D[..., j] * (r1 - tu) \
+                        if not exp_trans else \
+                        (C[..., j] * (tl - 2.0 * r1 + tu)
+                         - D[..., j] * (tl - tu))
+                    cn_r1 = ((jnp.abs(tl - tu) > 5.0) & (r1 < tl)
+                             & (r1 < tu) & (f1 < 0.0) & (f2_r1 > 0.0)
+                             & (jnp.abs(f1) > jnp.abs(f2_r1)))
+                    t_root = jnp.where(cn_r1, r1, r0)
+                else:
+                    t_root = r0
+                wide = c.SOIL_DT + 50.0
+                f_lo = node_residual(t0[..., j] - wide, j, T, j + 1, j - 1)
+                f_hi = node_residual(t0[..., j] + wide, j, T, j + 1, j - 1)
+                bracketed = f_lo * f_hi < 0.0
+                t_frozen = jnp.where(bracketed, t_root, t0[..., j])
+                use_root = jnp.logical_and(oldT < 0.0,
+                                           jnp.asarray(fs)[..., 0])
+                t_new = jnp.where(use_root, t_frozen, t_lin)
+                fb = fb.at[..., j].add(jnp.where(
+                    jnp.logical_and(use_root, ~bracketed), 1, 0))
+            elif frozen:
                 # frozen node: root on [T0-SOIL_DT, T0+SOIL_DT]
                 # (frozen_soil.c:401), expanded symmetrically by TSTEP=10 up
                 # to MAXTRIES=5 times exactly like root_brent.c:183-190 —
