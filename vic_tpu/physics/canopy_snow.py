@@ -68,11 +68,15 @@ def canopy_energy_terms(tfoliage, *, dt, lai_ra_over, air_dens, vp_air,
                - 2.0 * long_over_out)
     net_long_over = long_over_in - long_over_out
 
-    ra_snow = jnp.where(
-        wind_over > 0.0,
-        lai_ra_over / stability_correction(z_ref, displacement, tfoliage,
-                                           tcanopy, wind_over, roughness),
-        c.HUGE_RESIST)
+    # AR_406_FULL (the reference default, initialize_global.c:129): the
+    # intercepted-snow branch multiplies the overstory resistance by 10 and
+    # applies NO stability correction — StabilityCorrection runs only for
+    # AR_COMBO/AR_410 (func_canopy_energy_bal.c:54-70). A stability-
+    # corrected ra here INFLATED the resistance in stable winter air,
+    # decoupling the foliage from the canopy air: Tfoliage ran ~7 C cold
+    # (213-call replay median), vapor DEPOSITED on the canopy, and canopy
+    # snow lingered ~2x longer than the C run.
+    ra_snow = lai_ra_over
 
     es = svp(tfoliage)
     vmf = air_dens * (c.EPS_RATIO / pressure) * (vp_air - es) / ra_snow / c.RHO_W
@@ -249,13 +253,21 @@ def snow_intercept(*, snowfall_mm, rainfall_mm, int_snow_m, int_rain_m,
 
     brent_active = ~melt_cond if active_mask is None else \
         jnp.logical_and(~melt_cond, active_mask)
-    # snow branch caps the bracket at 0 C (snow_intercept.c:345-347);
-    # snow-free branch uses the symmetric bracket (:358-360)
-    t_upper = jnp.where(has_csnow,
-                        jnp.minimum(tfoliage_old + c.SNOW_DT, 0.0),
-                        tfoliage_old + c.SNOW_DT)
-    res = batched_brent(resid, tfoliage_old - c.SNOW_DT, t_upper,
-                        max_iter=max_iter, max_tries=1, active=brent_active)
+    # snow branch (snow_intercept.c:344-348): Tupper = 0 ALWAYS and
+    # Tlower = Tfol-SNOW_DT (or -SNOW_DT for a warm foliage) — an upper
+    # bound of min(Tfol+DT, 0) would exclude the warm roots of a cold
+    # canopy and bias Tfoliage cold (measured: vapor DEPOSITED on the
+    # canopy and snow lingered ~2x longer than the C run).
+    # snow-free branch: the symmetric bracket (:358-360). Both expand per
+    # root_brent.c:183-190 like every reference functor.
+    t_lower = jnp.where(
+        has_csnow,
+        jnp.where(tfoliage_old <= 0.0, tfoliage_old - c.SNOW_DT,
+                  -c.SNOW_DT),
+        tfoliage_old - c.SNOW_DT)
+    t_upper = jnp.where(has_csnow, 0.0, tfoliage_old + c.SNOW_DT)
+    res = batched_brent(resid, t_lower, t_upper,
+                        max_iter=max_iter, active=brent_active)
     t_cold = jnp.where(res.converged, res.root, tfoliage_old)
     fbflag = jnp.logical_and(~melt_cond, ~res.converged)
     tfoliage = jnp.where(melt_cond, 0.0, t_cold)
