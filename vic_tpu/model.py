@@ -805,7 +805,8 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 iter_mask = jnp.logical_and(ov_snow, p.mask)
                 return (jnp.where(iter_mask, ca.tcanopy, tair),
                         jnp.where(iter_mask, ca.fbflag, False),
-                        jnp.where(iter_mask, ca.error, 0.0))
+                        jnp.where(iter_mask, ca.error, 0.0),
+                        jnp.where(iter_mask, ca.sensible, under_sens))
 
             # Per-lane safeguarded secant on the fixed point g(tc) =
             # F(tc) - tc = 0, where F = tc_update(column(tc)).  The
@@ -840,12 +841,14 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             _, _, tcanopy, luo_conv, close_iters, _ = jax.lax.while_loop(
                 cond, body, init)
             r = column(tcanopy, luo=luo_conv)
-            tcanopy, tcanopy_fb, atmos_error = tc_update(r, tcanopy)
+            tcanopy, tcanopy_fb, atmos_error, atmos_sensible = \
+                tc_update(r, tcanopy)
             close_iters_out = close_iters
         else:
             tcanopy = tair
             r = column(tair)
             close_iters_out = jnp.asarray(0, jnp.int32)
+            atmos_sensible = None
 
         ci = r["ci"]; rainfall = r["rainfall"]
         snowfall_ground = r["snowfall_ground"]
@@ -878,6 +881,29 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
         dcc_pack = jnp.where(inc_l, eb.delta_cc, sm.terms.delta_cc)
         rfz_pack = jnp.where(inc_l, eb.refreeze_energy,
                              sm.terms.refreeze_energy)
+        # ATMOS-level flux reporting for CLOSE_ENERGY overstory-snow lanes
+        # (put_data.c:1068-1092 uses energy.NetShortAtmos/NetLongAtmos/
+        # AtmosLatent[Sub]/AtmosSensible, which calc_atmos_energy_bal.c:
+        # 77-90 assembles as over+under sums — with the F=1 closure quirk
+        # dropping the understory net LW; non-iterated lanes get the
+        # understory values, surface_fluxes.c:618-626)
+        sens_under = eb.sensible_heat + sm.terms.sensible * cov_w
+        lat_under = eb.latent_heat + sm.terms.latent * cov_w
+        latsub_under = eb.latent_heat_sub + sm.terms.latent_sub * cov_w
+        ns_under = net_short_bare + net_short_snow * coverage
+        nl_under = eb.net_long_bare + sm.terms.net_long * coverage
+        if gp.close_energy and full_energy and atmos_sensible is not None:
+            atm = jnp.logical_and(ov_snow, p.mask)
+            sens_rep = jnp.where(atm, atmos_sensible, sens_under)
+            lat_rep = jnp.where(atm, ci.latent + lat_under, lat_under)
+            latsub_rep = jnp.where(atm, ci.latent_sub + latsub_under,
+                                   latsub_under)
+            ns_rep = jnp.where(atm, ci.net_short_over + ns_under, ns_under)
+            nl_rep = jnp.where(atm, ci.net_long_over, nl_under)
+        else:
+            sens_rep, lat_rep, latsub_rep = sens_under, lat_under, \
+                latsub_under
+            ns_rep, nl_rep = ns_under, nl_under
 
         # suppress soil/canopy ET for snow-covered or snowing lanes
         # (func_surf_energy_bal.c:320: Evap=0 when SNOWING)
@@ -1458,21 +1484,17 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             "OUT_PET_NATVEG": agg(pets["natveg"]),
             "OUT_PET_VEGNOCR": agg(pets["vegnocr"]),
             # --- energy fluxes (W/m^2) ---
-            "OUT_NET_SHORT": agg(net_short_bare + net_short_snow * coverage),
-            "OUT_NET_LONG": agg(eb.net_long_bare
-                                + sm.terms.net_long * coverage),
+            "OUT_NET_SHORT": agg(ns_rep),
+            "OUT_NET_LONG": agg(nl_rep),
             # energy fluxes are NEGATED at output — the reference reports
             # them positive-upward while the internal convention is
             # positive-toward-surface (put_data.c:1086-1102). Pack fluxes
             # weight by (coverage + delta_coverage) = the area the pack
             # actually occupied this step (surface_fluxes.c:804-815,
             # solve_snow.c:456-458)
-            "OUT_LATENT": -agg(eb.latent_heat
-                               + (sm.terms.latent) * cov_w),
-            "OUT_LATENT_SUB": -agg(eb.latent_heat_sub
-                                   + sm.terms.latent_sub * cov_w),
-            "OUT_SENSIBLE": -agg(eb.sensible_heat
-                                 + sm.terms.sensible * cov_w),
+            "OUT_LATENT": -agg(lat_rep),
+            "OUT_LATENT_SUB": -agg(latsub_rep),
+            "OUT_SENSIBLE": -agg(sens_rep),
             "OUT_GRND_FLUX": -agg(eb.grnd_flux),
             "OUT_DELTAH": -agg(eb.delta_h),
             "OUT_FUSION": -agg(eb.fusion),
@@ -1582,9 +1604,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             # :1075-1077 — LongOverIn == LongUnderIn == cell lw_in here;
             # the canopy-filtered understory LW deviation is documented at
             # the snow_melt call)
-            "OUT_R_NET": agg(net_short_bare + net_short_snow * coverage
-                             + eb.net_long_bare
-                             + sm.terms.net_long * coverage),
+            "OUT_R_NET": agg(ns_rep + nl_rep),
             "OUT_IN_LONG": agg(lw_in),
             "OUT_SOILT_FBFLAG": (soilt_fb * w[..., None]).sum(-2),
             "OUT_FDEPTH": fdepth_c,

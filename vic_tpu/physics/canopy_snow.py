@@ -40,6 +40,7 @@ class CanopySnowResult(NamedTuple):
     latent_sub: jnp.ndarray
     sensible: jnp.ndarray
     net_long_over: jnp.ndarray
+    net_short_over: jnp.ndarray  # canopy-absorbed net SW of the taken branch
     canopy_evap_mm: jnp.ndarray  # liquid interception evap (snow-free canopy
     #                              over ground snow, func_canopy_energy_bal.c
     #                              :88-111); 0 on snow-in-canopy lanes
@@ -341,4 +342,5 @@ def snow_intercept(*, snowfall_mm, rainfall_mm, int_snow_m, int_rain_m,
         fbflag=fbflag, latent=terms["latent"],
         latent_sub=terms["latent_sub"], sensible=terms["sensible"],
         net_long_over=terms["net_long_over"],
+        net_short_over=ns_over,
         canopy_evap_mm=cevap_mm)
