@@ -583,6 +583,10 @@ OUTVAR_META: Dict[str, OutVarMeta] = {
     "OUT_SURF_COND": _M("m s-1", "SURF_COND", "",
                         "Surface conductance (never filled upstream: 0)",
                         "time: mean area: mean", AGG_AVG),
+    # TPU cost telemetry: CLOSE_ENERGY fixed-point trip count (max lane)
+    "OUT_TCANOPY_ITER": _M("1", "TCANOPY_ITER", "",
+                           "CLOSE_ENERGY canopy iteration count",
+                           "time: mean area: mean", AGG_AVG),
     # derived members of the default fluxes file (put_data.c:959-1013)
     "OUT_R_NET": _M("W m-2", "R_NET", "surface_net_radiation",
                     "Net downward radiation flux",
