@@ -311,7 +311,7 @@ class ProfileResult(NamedTuple):
 def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
                              geom: NodeGeometry, params, dt_sec,
                              noflux: bool, exp_trans: bool, frozen: bool,
-                             max_sweeps: int = 30, bisect_iters: int = 24,
+                             max_sweeps: int = 30, bisect_iters: int = 16,
                              ice_quirk: bool = True,
                              t_start=None) -> ProfileResult:
     """Gauss-Seidel node sweep (frozen_soil.c:305-468 calc_soil_thermal_fluxes;
@@ -319,6 +319,11 @@ def solve_t_profile_explicit(t0, surf_temp, kappa, cs, moist_node, ice0_node,
 
     t0: [c,h,nn] previous temps; surf_temp: [c,h] boundary condition (node 0).
     kappa/cs/moist_node/ice0_node: [c,h,nn] at the OLD temperatures.
+    bisect_iters: sequential bisection depth for genuine-ice nodes
+    (j >= Nlayer). 16 resolves the common 2*SOIL_DT bracket to 8e-6 C and
+    the widest expansion to 1.7e-3 C — both far under the sweep's 1e-2
+    tolerance (the reference's root_brent converges tighter but the sweep
+    accepts 1e-2 the same way, frozen_soil.c:466).
     t_start: optional warm-start ITERATE (e.g. the affine-interpolated
     profile the surface-EB Brent converged on) — cuts the sweep count when
     close to the fixed point.  The reference's revert-on-nonconvergence
