@@ -91,6 +91,21 @@ class TestAsciiWriter:
         assert toks[0] == "1995" and toks[1] == "01"
         assert len(toks) == 4 + 1 + 3  # date + prec + 3 soil layers
 
+    def test_write_compressed(self, tmp_path):
+        # COMPRESS analog of compress_files.c:24 (gzip of ASCII fluxes)
+        import gzip
+        n_rec = 3
+        outs = fake_outs(n_rec, 2)
+        ax = make_time_axis(1995, 1, 1, 0, n_rec, 24)
+        w = AsciiOutputWriter(str(tmp_path), "fluxes",
+                              [50.0, 50.25], [-116.0, -116.0],
+                              ["OUT_PREC", "OUT_SOIL_MOIST"], compress=True)
+        w.write_all(outs, ax)
+        w.close()
+        assert w.paths[0].endswith(".gz")
+        lines = gzip.open(w.paths[0], "rt").read().strip().split("\n")
+        assert len(lines) == n_rec and lines[0].split()[0] == "1995"
+
 
 class TestBinaryWriter:
     def test_roundtrip(self, tmp_path):

@@ -352,7 +352,8 @@ def write_disaggregated_forcings(gp, domain, forcing, timeaxis) -> RunResult:
         from .output import AsciiOutputWriter
         w = AsciiOutputWriter(gp.result_dir, "full_data", lats, lons,
                               list(outs.keys()),
-                              grid_decimal=gp.grid_decimal)
+                              grid_decimal=gp.grid_decimal,
+                              compress=gp.compress)
         w.write_all(outs, timeaxis)
         w.close()
     elapsed = time.perf_counter() - t0
@@ -466,7 +467,8 @@ def write_outputs(gp, domain, timeaxis, agg, steps_per_out):
     else:
         from .output import AsciiOutputWriter
         w = AsciiOutputWriter(gp.result_dir, "fluxes", lats, lons, var_names,
-                              grid_decimal=gp.grid_decimal)
+                              grid_decimal=gp.grid_decimal,
+                              compress=gp.compress)
         out_ax = TimeAxis(*[a[::steps_per_out][:n_out] for a in
                             (timeaxis.year, timeaxis.month, timeaxis.day,
                              timeaxis.hour, timeaxis.day_in_year)])

@@ -941,10 +941,15 @@ def read_binary_output(path):
 
 class AsciiOutputWriter:
     """Legacy per-cell ASCII flux files (WriteOutputAscii.c): one
-    ``<prefix>_<lat>_<lon>`` file per cell, date columns + variables."""
+    ``<prefix>_<lat>_<lon>`` file per cell, date columns + variables.
+
+    compress=True gzips each file (extension ``.gz``) — the analog of the
+    reference's COMPRESS forking ``system("gzip")`` per closed flux file
+    (compress_files.c:24), done in-process instead of via a subshell."""
 
     def __init__(self, result_dir: str, prefix: str, lats, lons, var_names,
-                 grid_decimal: int = 4):
+                 grid_decimal: int = 4, compress: bool = False):
+        import gzip
         import os
         self.paths = []
         self.files = []
@@ -954,8 +959,13 @@ class AsciiOutputWriter:
         for la, lo in zip(lats, lons):
             p = os.path.join(result_dir,
                              f"{prefix}_{fmt % la}_{fmt % lo}")
-            self.paths.append(p)
-            self.files.append(open(p, "w"))
+            if compress:
+                p += ".gz"
+                self.paths.append(p)
+                self.files.append(gzip.open(p, "wt"))
+            else:
+                self.paths.append(p)
+                self.files.append(open(p, "w"))
 
     def write_all(self, outs, timeaxis):
         n_rec = len(timeaxis.year)
