@@ -81,6 +81,43 @@ def test_sharded_run_exact_multiple():
     _assert_equal(r1, rn)
 
 
+def test_cell_chunked_run_matches_unchunked():
+    """Cell-axis chunking (blocks of 4 over 11 cells, last block padded)
+    reproduces the monolithic run — the vicNl.c:514-517 per-cell-loop
+    contract: disjoint cell blocks cannot interact."""
+    gp = GlobalParams(dt=24, snow_step=24, nlayer=3, startyear=1995,
+                      startmonth=1, startday=1, nrecs=6, full_energy=True,
+                      glacier_id=99, snow_band=2)
+    domain = synthetic_domain(n_cell=11, n_band=2, with_glacier=True)
+    forc = synthetic_forcing(6, 11)
+    r_full = run_simulation(gp, domain=domain, forcing=dict(forc),
+                            write_output=False, progress=False,
+                            devices=jax.devices()[:1])
+    r_blk = run_simulation(gp, domain=domain, forcing=dict(forc),
+                           write_output=False, progress=False,
+                           chunk_cells=4, devices=jax.devices()[:1])
+    _assert_equal(r_full, r_blk)
+
+
+def test_cell_chunked_with_mesh_and_rec_chunks():
+    """Cell chunking composes with the device mesh and record chunking:
+    10 cells in blocks of 6 (pad to 6) over 2 devices, 8 records in chunks
+    of 3."""
+    gp = GlobalParams(dt=24, snow_step=24, nlayer=3, startyear=1995,
+                      startmonth=1, startday=1, nrecs=8, full_energy=True,
+                      glacier_id=99, snow_band=2)
+    domain = synthetic_domain(n_cell=10, n_band=2, with_glacier=True)
+    forc = synthetic_forcing(8, 10)
+    r_full = run_simulation(gp, domain=domain, forcing=dict(forc),
+                            write_output=False, progress=False,
+                            devices=jax.devices()[:1])
+    r_blk = run_simulation(gp, domain=domain, forcing=dict(forc),
+                           write_output=False, progress=False,
+                           chunk_cells=6, chunk_recs=3,
+                           devices=jax.devices()[:2])
+    _assert_equal(r_full, r_blk)
+
+
 def test_sharded_output_placement():
     """The scanned outputs actually live sharded over the mesh (no silent
     replication): check a representative output's sharding inside the run by

@@ -187,6 +187,9 @@ class GlobalParams:
     max_memory: float = 0.0
     continue_on_error: bool = False
     max_cells: int = -1                # cap number of cells read (debug)
+    cell_chunk: int = 0                # max cells per jit call (0 = all);
+    #                                    larger domains stream block-by-block
+    #                                    through one compiled program
 
     # ----- numerics (TPU-native knobs; not in the reference grammar) -----
     brent_maxiter: int = 60            # fixed iteration budget for batched Brent
@@ -250,7 +253,7 @@ _INT_KEYS = {
     "OUT_STEP": "out_step", "STATEYEAR": "stateyear", "STATEMONTH": "statemonth",
     "STATEDAY": "stateday", "PARALLEL_THREADS": "parallel_threads",
     "DISAGG_WRITE_CHUNK_SIZE": "disagg_write_chunk_size",
-    "MAX_CELLS": "max_cells",
+    "MAX_CELLS": "max_cells", "CELL_CHUNK": "cell_chunk",
 }
 
 _FLOAT_KEYS = {

@@ -89,7 +89,8 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
                    forcing: Optional[dict] = None,
                    init_state_path: Optional[str] = None,
                    initial=None,
-                   chunk_recs: int = 0, write_output: bool = True,
+                   chunk_recs: int = 0, chunk_cells: int = 0,
+                   write_output: bool = True,
                    progress: bool = True, devices=None) -> RunResult:
     """Execute the full simulation. domain/forcing default to file ingest per
     the global parameter settings.
@@ -98,7 +99,14 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
     jax.devices(). With >1 device the cell axis of every state/parameter/
     forcing array is sharded over a 1-D mesh — the TPU-native equivalent of
     the reference's OpenMP cell loop (vicNl.c:514-517) — with weight-0 clone
-    cells padding the axis to a device multiple."""
+    cells padding the axis to a device multiple.
+
+    chunk_cells (or GlobalParams.cell_chunk / CELL_CHUNK): cap on the number
+    of cells per jit call. Domains larger than the cap are streamed through
+    the SAME compiled program block-by-block (the last block is padded with
+    clone cells so shapes stay constant — one compile serves every block),
+    the cell-axis analog of the reference's per-cell loop (vicNl.c:514-517).
+    Lets any domain size run regardless of per-program device limits."""
     import jax
     from .model import make_forcing_stack, make_step
     from .output import aggregate_outputs
@@ -184,37 +192,6 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
         state = load_state_any(init_state_path or gp.init_state_file, gp,
                                domain, state)
 
-    # ---- multi-device cell sharding (SURVEY.md SS2.9): the reference's
-    # OpenMP-over-cells loop (vicNl.c:514-517) becomes a 1-D 'cell' mesh.
-    # Cells are padded to a device multiple with clones of the last cell
-    # (physics stays well-conditioned; outputs/state are un-padded below). ----
-    n_cell_real = domain.n_cell
-    n_cell_run = n_cell_real
-    mesh = None
-    devs = list(devices) if devices is not None else jax.devices()
-    if len(devs) > 1:
-        from .parallel import (cell_mesh, pad_cell_tree, pad_cells,
-                               shard_cell_axis, shard_forcing)
-        mesh = cell_mesh(devices=devs)
-        n_cell_run = pad_cells(n_cell_real, len(devs))
-        n_pad = n_cell_run - n_cell_real
-        params = pad_cell_tree(params, n_cell_real, n_pad)
-        state = pad_cell_tree(state, n_cell_real, n_pad)
-        geom = pad_cell_tree(geom, n_cell_real, n_pad)
-        zwt_curves = pad_cell_tree(zwt_curves, n_cell_real, n_pad)
-        lake_params = pad_cell_tree(lake_params, n_cell_real, n_pad)
-        forcing = pad_cell_tree(forcing, n_cell_real, n_pad, axis=1)
-        params = shard_cell_axis(params, mesh)
-        state = shard_cell_axis(state, mesh)
-        if geom is not None:
-            geom = shard_cell_axis(geom, mesh)
-        zwt_curves = shard_cell_axis(zwt_curves, mesh)
-        if lake_params is not None:
-            lake_params = shard_cell_axis(lake_params, mesh)
-        if progress:
-            print(f"  cell mesh: {n_cell_real} cells (+{n_pad} pad) over "
-                  f"{len(devs)} devices", file=sys.stderr)
-
     # Pass the per-cell parameter pytrees through the jit boundary as
     # ARGUMENTS: a closed-over concrete array is baked into the HLO as a
     # constant, which bloats the program (and overflows the remote-compile
@@ -237,63 +214,126 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
     # glacier mass-balance accumulation schedule: chunk boundaries at each
     # accumulation-interval start so we can fit + reset (accumulateGlacier
     # MassBalance.c; SURVEY.md SS2.4)
-    gmb = None
     gmb_boundaries = set()
-    if gp.glacier_id >= 0 and gp.glacier_accum_start_year > 0:
+    use_gmb = gp.glacier_id >= 0 and gp.glacier_accum_start_year > 0
+    if use_gmb:
         from .physics.gmb import GmbAccumulator
-        gmb = GmbAccumulator(gp)
+        probe = GmbAccumulator(gp)
         for r in range(n_rec - 1):
-            if gmb.boundary(int(timeaxis.year[r + 1]),
-                            int(timeaxis.month[r + 1]),
-                            int(timeaxis.day[r + 1])):
+            if probe.boundary(int(timeaxis.year[r + 1]),
+                              int(timeaxis.month[r + 1]),
+                              int(timeaxis.day[r + 1])):
                 gmb_boundaries.add(r + 1)
 
     chunk = chunk_recs if chunk_recs > 0 else n_rec
-    check_memory_budget(gp, domain, chunk, progress=progress)
     starts = sorted(set(range(0, n_rec, chunk)) | gmb_boundaries)
-    all_outs = []
-    t0 = time.perf_counter()
-    for si, start in enumerate(starts):
-        end = starts[si + 1] if si + 1 < len(starts) else n_rec
-        sub_ax = TimeAxis(*[a[start:end] for a in
-                            (timeaxis.year, timeaxis.month, timeaxis.day,
-                             timeaxis.hour, timeaxis.day_in_year)])
-        stack = make_forcing_stack(
-            {k: v[start:end] for k, v in forcing.items()}, sub_ax)
-        if mesh is not None:
-            from .parallel import shard_forcing
-            stack = shard_forcing(stack, mesh)
-        state, outs = scan_jit(state, stack, params, geom, zwt_curves,
-                               lake_params)
-        all_outs.append(jax.tree_util.tree_map(
-            lambda a: np.asarray(a)[:, :n_cell_real]
-            if a.ndim >= 2 and a.shape[1] == n_cell_run else np.asarray(a),
-            outs))
-        if gmb is not None and end in gmb_boundaries | {n_rec}:
-            res = gmb.maybe_emit(timeaxis, end - 1,
-                                 np.asarray(
-                                     state.glac_cum_mass_balance)[:n_cell_real],
-                                 np.asarray(params.band_elev)[:n_cell_real],
-                                 np.asarray(params.is_glacier)[:n_cell_real])
-            if res is not None:
-                import dataclasses
-                state = dataclasses.replace(
-                    state, glac_cum_mass_balance=jax.numpy.zeros_like(
-                        state.glac_cum_mass_balance))
-                if progress:
-                    print(f"  GMB fit at {res.date}: b0={res.b0}, "
-                          f"b1={res.b1}, b2={res.b2}", file=sys.stderr)
-        if progress:
-            print(f"  records {start}..{end} done", file=sys.stderr)
-    jax.block_until_ready(state.moist)
-    elapsed = time.perf_counter() - t0
-    if n_cell_run != n_cell_real:
-        from .parallel import unpad_cell_tree
-        state = unpad_cell_tree(jax.tree_util.tree_map(np.asarray, state),
-                                n_cell_run, n_cell_real)
 
-    outs = {k: np.concatenate([o[k] for o in all_outs], axis=0)
-            for k in all_outs[0]}
+    # ---- cell-axis chunking (vicNl.c:514-517 analog): cells are streamed
+    # through ONE compiled program in blocks of <= cc; the last block is
+    # padded to cc with clone cells so shapes stay constant. ----
+    n_cell_real = domain.n_cell
+    devs = list(devices) if devices is not None else jax.devices()
+    cc = chunk_cells if chunk_cells > 0 else getattr(gp, "cell_chunk", 0)
+    cc = n_cell_real if cc <= 0 else min(cc, n_cell_real)
+    check_memory_budget(gp, domain, chunk, n_cell=cc, progress=progress)
+
+    from .parallel import (cell_mesh, pad_cell_tree, pad_cells,
+                           shard_cell_axis, shard_forcing, slice_cell_tree,
+                           unpad_cell_tree)
+    # ---- multi-device cell sharding (SURVEY.md SS2.9): the reference's
+    # OpenMP-over-cells loop becomes a 1-D 'cell' mesh; each block's cell
+    # axis is padded to a device multiple with clones of the last cell
+    # (physics stays well-conditioned; outputs/state are un-padded below).
+    mesh = cell_mesh(devices=devs) if len(devs) > 1 else None
+    n_block_run = pad_cells(cc, len(devs)) if mesh is not None else cc
+    if progress and mesh is not None:
+        print(f"  cell mesh: {n_cell_real} cells over {len(devs)} devices "
+              f"({cc} per block, +{n_block_run - cc} pad)", file=sys.stderr)
+    if progress and cc < n_cell_real:
+        print(f"  cell chunking: {n_cell_real} cells in blocks of {cc}",
+              file=sys.stderr)
+
+    def run_block(b0, b1, st):
+        """All records for cells [b0:b1): returns (final state np tree,
+        outs np dict [n_rec, b1-b0, ...], gmb results)."""
+        nb = b1 - b0
+        n_pad = n_block_run - nb
+        trees = [slice_cell_tree(t, b0, b1, n_cell_real)
+                 for t in (params, geom, zwt_curves, lake_params)]
+        frc = slice_cell_tree(forcing, b0, b1, n_cell_real, axis=1)
+        st = slice_cell_tree(st, b0, b1, n_cell_real)
+        if n_pad > 0:
+            trees = [pad_cell_tree(t, nb, n_pad) for t in trees]
+            st = pad_cell_tree(st, nb, n_pad)
+            frc = pad_cell_tree(frc, nb, n_pad, axis=1)
+        if mesh is not None:
+            trees = [shard_cell_axis(t, mesh) if t is not None else None
+                     for t in trees]
+            st = shard_cell_axis(st, mesh)
+        prm, gm, zw, lkp = trees
+
+        gmb = None
+        if use_gmb:
+            from .physics.gmb import GmbAccumulator
+            gmb = GmbAccumulator(gp)
+        all_outs = []
+        for si, start in enumerate(starts):
+            end = starts[si + 1] if si + 1 < len(starts) else n_rec
+            sub_ax = TimeAxis(*[a[start:end] for a in
+                                (timeaxis.year, timeaxis.month, timeaxis.day,
+                                 timeaxis.hour, timeaxis.day_in_year)])
+            stack = make_forcing_stack(
+                {k: v[start:end] for k, v in frc.items()}, sub_ax)
+            if mesh is not None:
+                stack = shard_forcing(stack, mesh)
+            st, outs = scan_jit(st, stack, prm, gm, zw, lkp)
+            all_outs.append(jax.tree_util.tree_map(
+                lambda a: np.asarray(a)[:, :nb]
+                if a.ndim >= 2 and a.shape[1] == n_block_run
+                else np.asarray(a), outs))
+            if gmb is not None and end in gmb_boundaries | {n_rec}:
+                res = gmb.maybe_emit(
+                    timeaxis, end - 1,
+                    np.asarray(st.glac_cum_mass_balance)[:nb],
+                    np.asarray(prm.band_elev)[:nb],
+                    np.asarray(prm.is_glacier)[:nb])
+                if res is not None:
+                    import dataclasses
+                    st = dataclasses.replace(
+                        st, glac_cum_mass_balance=jax.numpy.zeros_like(
+                            st.glac_cum_mass_balance))
+                    if progress:
+                        print(f"  GMB fit at {res.date}: b0={res.b0}, "
+                              f"b1={res.b1}, b2={res.b2}", file=sys.stderr)
+            if progress:
+                print(f"  cells {b0}..{b1} records {start}..{end} done",
+                      file=sys.stderr)
+        jax.block_until_ready(st.moist)
+        st = unpad_cell_tree(jax.tree_util.tree_map(np.asarray, st),
+                             n_block_run, nb)
+        outs = {k: np.concatenate([o[k] for o in all_outs], axis=0)
+                for k in all_outs[0]}
+        return st, outs, gmb.results if gmb is not None else []
+
+    t0 = time.perf_counter()
+    block_states, block_outs, gmb_results = [], [], []
+    for b0 in range(0, n_cell_real, cc):
+        bst, bouts, bres = run_block(b0, min(b0 + cc, n_cell_real), state)
+        block_states.append(bst)
+        block_outs.append(bouts)
+        gmb_results.extend(bres)
+    elapsed = time.perf_counter() - t0
+
+    if len(block_states) == 1:
+        state = block_states[0]
+        outs = block_outs[0]
+    else:
+        state = jax.tree_util.tree_map(
+            lambda *xs: (np.concatenate(xs, axis=0)
+                         if hasattr(xs[0], "ndim") and xs[0].ndim >= 1
+                         else xs[0]), *block_states)
+        outs = {k: np.concatenate([o[k] for o in block_outs], axis=1)
+                for k in block_outs[0]}
     steps_per_out = max(1, gp.out_step // gp.dt)
     agg = aggregate_outputs(outs, steps_per_out, alma=gp.alma_output,
                             out_dt_sec=gp.out_step * 3600.0)
@@ -313,7 +353,7 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
     return RunResult(outputs=agg, final_state=state, timeaxis=timeaxis,
                      elapsed_s=elapsed,
                      cell_steps_per_s=n_cell * n_rec / max(elapsed, 1e-9),
-                     gmb_results=gmb.results if gmb is not None else [])
+                     gmb_results=gmb_results)
 
 
 def write_disaggregated_forcings(gp, domain, forcing, timeaxis) -> RunResult:
@@ -372,15 +412,17 @@ def _state_path(gp, date):
     return base + suffix
 
 
-def check_memory_budget(gp, domain, chunk_recs, progress=True):
+def check_memory_budget(gp, domain, chunk_recs, n_cell=None, progress=True):
     """HBM/RAM budget estimate (vicNl.c:218-235 MAX_MEMORY governor).
 
     The reference warns when cells * 96 kB exceeds MAX_MEMORY GB. Here the
     dominant terms are the scan carry (state pytree), the device-resident
     forcing chunk, and the stacked per-chunk outputs; a 2x factor covers XLA
     temporaries. Warns (never aborts) with a suggested --chunk, and checks
-    against the accelerator's HBM when discoverable."""
-    n_cell = domain.n_cell
+    against the accelerator's HBM when discoverable. n_cell overrides the
+    domain cell count (cell-axis chunking budgets per block)."""
+    if n_cell is None:
+        n_cell = domain.n_cell
     max_hru = domain.hru.mask.shape[1]
     nl, nn = gp.nlayer, max(gp.nnode, 3)
     state_b = n_cell * max_hru * (4 * (30 + 6 * nl + nn))
@@ -489,6 +531,9 @@ def main(argv=None):
     ap.add_argument("-v", "--version", action="store_true")
     ap.add_argument("--chunk", type=int, default=0,
                     help="records per scan chunk (memory bound)")
+    ap.add_argument("--cell-chunk", type=int, default=0,
+                    help="max cells per jit call (program-size bound); "
+                         "larger domains stream block-by-block")
     args = ap.parse_args(argv)
 
     if args.version:
@@ -502,7 +547,8 @@ def main(argv=None):
         for k, v in sorted(vars(gp).items()):
             print(f"{k:32s} {v}")
         return 0
-    res = run_simulation(gp, chunk_recs=args.chunk)
+    res = run_simulation(gp, chunk_recs=args.chunk,
+                         chunk_cells=args.cell_chunk)
     print(f"Model execution time: {res.elapsed_s:.3f} s "
           f"({res.cell_steps_per_s:.0f} cell-steps/s)", file=sys.stderr)
     return 0

@@ -71,6 +71,25 @@ def pad_cell_tree(tree, n_cell: int, n_pad: int, axis: int = 0):
     return jax.tree_util.tree_map(pad, tree)
 
 
+def slice_cell_tree(tree, start: int, stop: int, n_cell: int, axis: int = 0):
+    """Slice [start:stop) of the cell axis from every leaf whose `axis` dim
+    equals n_cell (the same leaf-selection rule as pad/unpad). Used by the
+    driver's cell-axis chunking: domains larger than one jit call can handle
+    are streamed block-by-block through a single compiled program — the
+    TPU-chunked analog of the reference's per-cell loop (vicNl.c:514-517)."""
+    if tree is None:
+        return tree
+
+    def f(x):
+        if not hasattr(x, "shape") or x.ndim <= axis or x.shape[axis] != n_cell:
+            return x
+        idx = tuple(slice(start, stop) if d == axis else slice(None)
+                    for d in range(x.ndim))
+        return x[idx]
+
+    return jax.tree_util.tree_map(f, tree)
+
+
 def unpad_cell_tree(tree, n_padded: int, n_cell: int, axis: int = 0):
     """Inverse of pad_cell_tree: slice leaves back to the real cell count."""
     if tree is None or n_padded == n_cell:
