@@ -93,3 +93,44 @@ def test_lakefactor_displaces_wetland():
     vol = np.asarray(outs["OUT_LAKE_VOLUME"])
     recon = vol[1:] - vol[:-1]
     assert np.allclose(dstor[1:], recon, atol=max(1.0, 1e-4 * vol.max()))
+
+
+def test_wetland_inflow_scaled_by_dynamic_lakefrac():
+    """The wetland tile's lake-inflow share carries the DYNAMIC land factor
+    Cv*(1 - lakefrac_pre) (full_energy.c:239-242 mutates Cv before the
+    inflow sum at :740-767): a nearly-full lake must receive a smaller
+    wetland inflow contribution than a nearly-empty one under identical
+    weather. The round-4 static-Cv weighting inflated the lake inflow by
+    1/(1-lakefrac) and collapsed depth parity to r=0.43 (round-5 fix)."""
+    from vic_tpu.physics.lake import initial_lake_state
+
+    gp = GlobalParams(dt=24, startyear=1995, nrecs=10, full_energy=True,
+                      lakes=True)
+    dom = synthetic_domain(n_cell=2)
+    params = prepare_domain(dom, gp)
+
+    def run_with_depth(depth_in):
+        lp = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32)
+            if np.asarray(a).dtype.kind == "f" else jnp.asarray(a),
+            make_lake_params(dom.soil, gp, depth_in=depth_in))
+        ax = make_time_axis(1995, 5, 1, 0, 10, 24)
+        forc = synthetic_forcing(10, 2, start_doy=121, seed=3)
+        forc["prec"] = forc["prec"] + 10.0   # steady rain -> steady runoff
+        stack = make_forcing_stack(forc, ax)
+        st = initial_state(dom, gp, lake_params=lp)
+        fs, outs = jax.jit(lambda s, f: run(s, f, params, gp,
+                                            lake_params=lp))(st, stack)
+        return (np.asarray(outs["OUT_LAKE_RO_IN_V"])
+                + np.asarray(outs["OUT_LAKE_BF_IN_V"]))
+
+    # deep lake: lakefrac_pre ~ 0.9+ -> wetland land share ~ 0
+    inflow_deep = run_with_depth(9.5)
+    # shallow lake: lakefrac_pre small -> full wetland share
+    inflow_shallow = run_with_depth(0.6)
+    assert np.isfinite(inflow_deep).all() and np.isfinite(inflow_shallow).all()
+    # same weather, same soils: on the FIRST step (before the lake->soil
+    # recharge feedback diverges the columns) the deep lake's inflow must
+    # be strictly smaller
+    assert (inflow_shallow[0] > 0).all()
+    assert (inflow_deep[0] < inflow_shallow[0]).all()

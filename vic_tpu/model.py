@@ -1009,15 +1009,32 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 x, wl_idx[:, None, None], 1)[:, 0]
             take_wl2 = lambda x: jnp.take_along_axis(
                 jnp.asarray(x), wl_idx[:, None], 1)[:, 0]
+            # pre-step dynamic lake fraction (full_energy.c:239: lakefrac =
+            # lake_var.sarea/basin[0] BEFORE the HRU loop, where sarea is
+            # last step's final max(liquid area, ice area))
+            from .physics.lake import area_from_depth, depth_from_volume
+            basin0_w = jnp.asarray(lp_l.basin, cell_runoff.dtype)[..., 0]
+            has_l = jnp.asarray(lp_l.has_lake)
+            liq_pre = jnp.maximum(state.lake_volume - state.lake_ice_we, 0.0)
+            sarea_pre = jnp.maximum(
+                area_from_depth(lp_l, depth_from_volume(lp_l, liq_pre)),
+                state.lake_ice_area)
+            clake_pre = jnp.where(has_l, jnp.clip(
+                sarea_pre / jnp.maximum(basin0_w, 1.0), 0.0, 1.0), 0.0)
             # the wetland tile routes ALL of its runoff/baseflow into the
-            # lake; other tiles contribute rpercent (full_energy.c:740-767)
+            # lake, weighted by its LAND share Cv*(1-lakefrac) — the
+            # reference mutates Cv *= (1-lakefrac) at full_energy.c:242
+            # before the inflow sum at :740-767; other tiles contribute
+            # rpercent of their full-Cv share
             wl_w = (w * wl_mask).sum(-1)
             wet_ro = ((runoff_c + glac_outflow) * w * wl_mask).sum(-1)
             wet_bf = (baseflow_c * w * wl_mask).sum(-1)
             oth_ro = cell_runoff - wet_ro
             oth_bf = cell_baseflow - wet_bf
-            r_in = (oth_ro * rperc + wet_ro) / 1000.0 * cell_area
-            b_in = (oth_bf * rperc + wet_bf) / 1000.0 * cell_area
+            r_in = (oth_ro * rperc
+                    + wet_ro * (1.0 - clake_pre)) / 1000.0 * cell_area
+            b_in = (oth_bf * rperc
+                    + wet_bf * (1.0 - clake_pre)) / 1000.0 * cell_area
             # cell-level rain/snow partition for the lake column
             # (full_energy.c:769-781; gauge correction not reapplied here)
             tair_c = forcing["air_temp"]
@@ -1075,18 +1092,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                                               cell_runoff.dtype),
                 wetland_rel_moist=wl_rel_moist, lane_mask=p.mask)
             # lake-fraction bookkeeping for the advection + weighting below
-            from .physics.lake import area_from_depth, depth_from_volume
-            basin0_w = jnp.asarray(lp_l.basin, cell_runoff.dtype)[..., 0]
-            has_l = jnp.asarray(lp_l.has_lake)
-            # start-of-step lake fraction = last step's final sarea
-            # (full_energy.c:240: lake_var.sarea/basin[0], where sarea is
-            # max(liquid area, ice area) from the previous water_balance)
-            liq_pre = jnp.maximum(lstate.volume - lstate.ice_water_eq, 0.0)
-            sarea_pre = jnp.maximum(
-                area_from_depth(lp_l, depth_from_volume(lp_l, liq_pre)),
-                lstate.ice_area)
-            clake_pre = jnp.where(has_l, jnp.clip(
-                sarea_pre / jnp.maximum(basin0_w, 1.0), 0.0, 1.0), 0.0)
+            # (clake_pre computed above, before the inflow assembly)
             clake_post = jnp.where(has_l, jnp.clip(
                 lres.sarea / jnp.maximum(basin0_w, 1.0), 0.0, 1.0), 0.0)
             maxnf = jnp.where(has_l, jnp.clip(
