@@ -90,3 +90,52 @@ class TestBlowingRun:
         assert "OUT_SUB_BLOWING" in outs
         assert bool(jnp.isfinite(outs["OUT_SUB_BLOWING"]).all())
         assert float(jnp.abs(outs["OUT_WATER_ERROR"]).max()) < 0.01
+
+
+def test_golden_replay_against_c_trace():
+    """Four CalcBlowingSnow calls traced from the instrumented C binary
+    (blowing oracle scenario, round 5) replayed through calc_blowing_snow.
+    Pins the Laplace conditional-mean branch selection (C selects by
+    lower >= Uo / upper <= Uo, CalcBlowingSnow.c:230-237 — NOT by the
+    p index; round-5 fix) and the fetch-normalized saltation+suspension
+    transport (CalcSubFlux:731-739). Full 1,360-call replay: flux r=0.999,
+    transport r=0.997; residue is the fixed log-trapezoid quadrature vs
+    the reference's adaptive Romberg."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vic_tpu.physics.blowing_snow import calc_blowing_snow
+
+    # columns: Dt(h) Tair LastSnow SurfWater Wind Ls AirDens Press EactAir
+    #          ZO Zrh snowdepth lag_one sigma_slope Tsnow isBare fe disp rough
+    IN = np.array([
+        [3.0, -6.8024, 2, 0.0, 4.270211179, 2841189.91, 1.249317108,
+         95500.0, 232.9, 0.0012, 2.0012, 0.08672765232, 0.8999999762, 1.0,
+         -22.95073692, 0, 2000.0, 0.3, 0.05],
+        [3.0, 4.8308, 13, 0.0, 1.462055485, 2835101.533, 1.197034519,
+         95500.0, 548.5, 0.0012, 2.0012, 0.4442905796, 0.8999999762, 1.0,
+         -2.176682735, 0, 2000.0, 0.3, 0.05],
+        [3.0, -5.8216, 0, 0.0, 6.031728762, 2841002.687, 1.244733493,
+         95500.0, 215.0, 0.0012, 2.0012, 0.2213331431, 0.8999999762, 1.0,
+         -22.31191621, 0, 2000.0, 0.3, 0.05],
+        [3.0, -8.9738, 0, 0.0, 4.660892522, 2840084.814, 1.259585887,
+         95500.0, 144.6, 0.0012, 2.0012, 0.04553707334, 0.8999999762, 1.0,
+         -19.18005409, 1, 2000.0, 0.05422764228, 0.01],
+    ])
+    REF_FLUX = np.array([-5e-05, -5.765686753e-07, -5e-05, 0.0])
+    REF_TRANS = np.array([2.620188773e-05, 1.100971098e-07,
+                          0.0005068262193, 0.0])
+
+    B = lambda i: jnp.asarray(IN[:, i], jnp.float64)
+    with jax.enable_x64(True):
+        flux, trans = calc_blowing_snow(
+            dt_sec=B(0) * 3600.0, tair=B(1), last_snow=B(2),
+            surf_water_m=B(3), wind_2m=B(4), ls=B(5), air_dens=B(6),
+            pressure=B(7), eact=B(8), z0_snow=B(9), zrh=B(10),
+            snowdepth=B(11), lag_one=B(12), sigma_slope=B(13), tsnow=B(14),
+            is_bare=B(15).astype(bool), fetch=B(16), displacement=B(17),
+            roughness=B(18))
+    np.testing.assert_allclose(np.asarray(flux), REF_FLUX,
+                               rtol=0.15, atol=2e-7)
+    np.testing.assert_allclose(np.asarray(trans), REF_TRANS,
+                               rtol=0.15, atol=2e-8)

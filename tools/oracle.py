@@ -87,6 +87,8 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
                   (get_global_param.c:931).
     lakes         base + LAKES: a lake/wetland tile per cell
                   (read_lakeparam.c grammar; lakes.eb.c energy/water budget)
+    blowing       base + BLOWING snow sublimation (CalcBlowingSnow.c);
+                  vegparam carries the sigma_slope/lag_one/fetch columns
     heavy         every expensive path at once, matching bench.py's heavy
                   variant: FROZEN_SOIL + IMPLICIT FD nodes + CLOSE_ENERGY +
                   DIST_PRCP + BLOWING + LAKES at 3-hourly steps.  Used with
@@ -114,7 +116,7 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
         # lng 0 with off_gmt 0 h => hour_offset 0 (initialize_atmos.c:125)
         lons = np.full(n_cell, 0.0)
         off_gmt_h = 0.0
-    avg_temp = 2.0 if config in ("frozen", "bands", "heavy") else 8.0
+    avg_temp = 2.0 if config in ("frozen", "bands", "heavy", "blowing") else 8.0
     fs_active = 1 if config in ("frozen", "heavy") else 0
 
     # ---- soil file (read_soilparam.c column order, glacier format) ----
@@ -213,6 +215,11 @@ def write_inputs(workdir, n_cell, n_days, start=(1990, 1, 1), seed=0,
                 f.write("1 0.10 0.30 0.60 0.70 0.40 1.0 0.9 2000.0 0\n")
                 f.write("4 0.40 0.50 0.50 0.50 0.50 1.0 0.9 2000.0 0\n")
                 f.write("3 0.30 0.30 0.60 0.70 0.40 1.0 0.9 2000.0 0\n")
+            elif config == "blowing":
+                # BLOWING adds sigma_slope/lag_one/fetch before bandIndex
+                # (read_vegparam.c:172-186)
+                f.write(f"{ci + 1} 1\n")
+                f.write("1 0.70 0.30 0.60 0.70 0.40 1.0 0.9 2000.0 0\n")
             else:
                 f.write(f"{ci + 1} 1\n")
                 # PCIC tile line: class Cv (depth fract)*RZ bandIndex
@@ -285,7 +292,7 @@ QUICK_FLUX {"FALSE" if frozen else "TRUE"}
 IMPLICIT {"TRUE" if frozen else "FALSE"}
 DIST_PRCP {"TRUE" if config in ("dist", "heavy") else "FALSE"}
 CORRPREC FALSE
-BLOWING {"TRUE" if config == "heavy" else "FALSE"}
+BLOWING {"TRUE" if config in ("blowing", "heavy") else "FALSE"}
 MIN_WIND_SPEED 0.1
 MAX_SNOW_TEMP 0.5
 MIN_RAIN_TEMP -0.5
@@ -375,6 +382,12 @@ def run_vic_tpu(workdir, platform="cpu"):
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
+    # persistent compile cache: the CPU compile of the full heavy program is
+    # minutes-long; re-runs of the same scenario shape hit the cache
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "..", "tests", ".jax_test_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from vic_tpu.config import parse_global_param_file
     from vic_tpu.driver import run_simulation, load_domain
 
@@ -460,10 +473,15 @@ CONFIG_EXCLUDE = {
     "bands": {"OUT_SURF_TEMP", "OUT_RAD_TEMP"},
 }
 # extra variables compared per config (beyond COMPARE)
+_LAKE_EXTRA = ["OUT_LAKE_DEPTH", "OUT_LAKE_VOLUME", "OUT_LAKE_SURF_AREA",
+               "OUT_LAKE_ICE_FRACT", "OUT_LAKE_ICE_HEIGHT",
+               "OUT_LAKE_SURF_TEMP", "OUT_LAKE_EVAP"]
 CONFIG_EXTRA = {
-    "lakes": ["OUT_LAKE_DEPTH", "OUT_LAKE_VOLUME", "OUT_LAKE_SURF_AREA",
-              "OUT_LAKE_ICE_FRACT", "OUT_LAKE_ICE_HEIGHT",
-              "OUT_LAKE_SURF_TEMP", "OUT_LAKE_EVAP"],
+    "lakes": _LAKE_EXTRA,
+    # heavy = all features at once: the lake file is written too, and the
+    # snow file gains the three BLOWING columns (set_output_defaults.c:165)
+    "heavy": _LAKE_EXTRA + ["OUT_SUB_BLOWING", "OUT_SUB_SURFACE"],
+    "blowing": ["OUT_SUB_BLOWING", "OUT_SUB_SURFACE", "OUT_SUB_SNOW"],
 }
 
 
@@ -472,8 +490,11 @@ def compare_fluxes(workdir, gp, res, lats, lons, config="base"):
     aggregated outputs (the comparison role of
     tools/test script/vic_output_compare_netcdf_universal.py)."""
     ref = {}
-    prefixes = [("fluxes", FLUX_COLS), ("snow", SNOW_COLS)]
-    if config == "lakes":
+    snow_cols = SNOW_COLS + (["OUT_SUB_BLOWING", "OUT_SUB_SURFACE",
+                              "OUT_SUB_SNOW_B"]
+                             if config in ("blowing", "heavy") else [])
+    prefixes = [("fluxes", FLUX_COLS), ("snow", snow_cols)]
+    if config in ("lakes", "heavy"):
         prefixes.append(("lake", LAKE_COLS))
     for ci, (la, lo) in enumerate(zip(lats, lons)):
         for prefix, cols in prefixes:
@@ -539,7 +560,7 @@ def main():
                     help="jax platform for the vic-tpu run (cpu|axon)")
     ap.add_argument("--config", default="base",
                     choices=["base", "frozen", "bands", "dist", "mtclim",
-                             "close", "lakes", "heavy"])
+                             "close", "lakes", "blowing", "heavy"])
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--bench-only", action="store_true",
                     help="time the C binary only (no vic-tpu run/parity)")

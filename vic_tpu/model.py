@@ -1465,7 +1465,10 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 dw(layer_evap.sum(-1), layer_evap_d.sum(-1)))),
             "OUT_SUB_SNOW": agg(snow_sub_mm),
             "OUT_SUB_CANOP": agg(canopy_sub_mm),
-            "OUT_SUB_BLOWING": agg(sub_blow_lane),
+            # reference sign split (snow_melt.c:277-281 + put_data.c:800-802):
+            # vapor_flux is loss-POSITIVE, its blowing/surface components are
+            # loss-NEGATIVE (vapor_flux = -(blowing_flux + surface_flux))
+            "OUT_SUB_BLOWING": -agg(sub_blow_lane),
             "OUT_TFOL_FBFLAG": agg(tfol_fb.astype(ts.dtype)),
             "OUT_TCAN_FBFLAG": agg(tcanopy_fb.astype(ts.dtype)),
             # CLOSE_ENERGY fixed-point trip count this record (max over
@@ -1591,7 +1594,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             # refreeze flux in mm (put_data.c:591: RFRZ_ENERGY/Lf*dt)
             "OUT_REFREEZE": agg(rfz_pack * cov_w)
             / c.LF * dt_sec,
-            "OUT_SUB_SURFACE": agg(snow_sub_mm - sub_blow_lane),
+            "OUT_SUB_SURFACE": -agg(snow_sub_mm - sub_blow_lane),
             # sensible heat advected from snow-free patches onto the pack
             # (advected_sensible_heat.c:8, SPATIAL_SNOW only); negated and
             # coverage-weighted like the other pack terms

@@ -151,9 +151,20 @@ def _sub_flux_one(u10, tair, tsnow, es, eact, air_dens, zrh, z0, fe, F,
     undersat = eact < es
     subflux = jnp.where(jnp.logical_and(saltating, undersat),
                         sub_salt + sub_susp, 0.0)
-    # transport (Liston & Sturm eq. 10 + suspension)
+    # transport out of the domain (CalcSubFlux:731-739): saltation
+    # Qs(fe) (Liston & Sturm eq. 10) + the suspension-layer integral of
+    # transport_with_height, divided by the fetch (FETCH=1)
     trans_salt = qsalt * (1.0 - jnp.exp(-3.0 * fe / 500.0))
-    transport = jnp.where(saltating, trans_salt, 0.0)
+    uz = ushear[..., None] * jnp.log(zs / jnp.maximum(zo_salt[..., None],
+                                                      1e-10)) / c.VON_K
+    phi_tz = phi_s[..., None] * (
+        (T[..., None] + 1.0)
+        * jnp.power(zs / hsalt[..., None],
+                    -SETTLING / (c.VON_K * ushear[..., None]))
+        - T[..., None])
+    tz = uz * phi_tz * zs      # log-space quadrature: f(z(t)) * z
+    trans_susp = (tz[..., :-1] + tz[..., 1:]).sum(-1) / 2.0 * dt_q
+    transport = jnp.where(saltating, (trans_salt + trans_susp) / fe, 0.0)
     return subflux, transport
 
 
@@ -186,30 +197,37 @@ def calc_blowing_snow(*, dt_sec, tair, last_snow, surf_water_m, wind_2m,
     area = 1.0 / NUMINCS
     total = jnp.zeros_like(wind10)
     total_transport = jnp.zeros_like(wind10)
+    sig_safe = jnp.maximum(sigma_w, 1e-10)
     for p in range(NUMINCS):
-        # Laplace-distribution interval bounds + conditional mean wind
+        # Laplace-distribution interval bounds (CalcBlowingSnow.c:203-223);
+        # the conditional mean selects by lower >= Uo (upper tail, density
+        # e^{-(u-Uo)/sigma}) vs upper <= Uo (lower tail, e^{(u-Uo)/sigma})
+        # — C's :230-237, NOT by the p index: for every p < NUMINCS/2 the
+        # whole interval sits below the median.  (Round-5 fix: the halves
+        # were swapped, anti-correlating the blowing flux with the C
+        # reference.)
         if p == 0:
+            lower = uo - 9999.0
             upper = uo + sigma_w * jnp.log(2.0 * (p + 1) * area)
-            u10 = -0.5 * ((upper + sigma_w) * jnp.exp(-(upper - uo) / sigma_w)
-                          - (0.0) * 0.0) / area
-            # lower = -inf: second term -> 0
         elif p < NUMINCS // 2:
             lower = uo + sigma_w * jnp.log(2.0 * p * area)
             upper = uo + sigma_w * jnp.log(2.0 * (p + 1) * area)
-            u10 = -0.5 * ((upper + sigma_w) * jnp.exp(-(upper - uo) / sigma_w)
-                          - (lower + sigma_w)
-                          * jnp.exp(-(lower - uo) / sigma_w)) / area
         elif p < NUMINCS - 1:
             lower = uo - sigma_w * jnp.log(2.0 - 2.0 * p * area)
             upper = uo - sigma_w * jnp.log(2.0 - 2.0 * (p + 1.0) * area)
-            u10 = 0.5 * ((upper - sigma_w) * jnp.exp((upper - uo) / sigma_w)
-                         - (lower - sigma_w)
-                         * jnp.exp((lower - uo) / sigma_w)) / area
         else:
             lower = uo - sigma_w * jnp.log(2.0 - 2.0 * p * area)
-            # upper = +inf: first term -> 0
-            u10 = 0.5 * (0.0 - (lower - sigma_w)
-                         * jnp.exp((lower - uo) / sigma_w)) / area
+            upper = uo + 9999.0
+        lower = jnp.minimum(lower, upper)   # C's lower>upper guard (:225)
+        # exponent args clamped so the UNselected branch cannot overflow
+        # (jnp.where evaluates both); the selected branch's args are <= 0
+        e_hi = lambda x: jnp.exp(jnp.minimum(-(x - uo) / sig_safe, 0.0))
+        e_lo = lambda x: jnp.exp(jnp.minimum((x - uo) / sig_safe, 0.0))
+        u10_hi = -0.5 * ((upper + sigma_w) * e_hi(upper)
+                         - (lower + sigma_w) * e_hi(lower)) / area
+        u10_lo = 0.5 * ((upper - sigma_w) * e_lo(upper)
+                        - (lower - sigma_w) * e_lo(lower)) / area
+        u10 = jnp.where(lower >= uo, u10_hi, u10_lo)
         u10 = jnp.clip(u10, 0.4, 25.0)
         uveg = jnp.where(snowdepth < hv,
                          u10 / jnp.sqrt(1.0 + 170.0 * nd
