@@ -40,6 +40,12 @@ BASELINE_LIGHT = 7.77e4
 BASELINE_HEAVY = 36.0
 
 
+# TPU v5e single-chip peaks for the utilization fields (public spec):
+# 197 TFLOP/s bf16 (the conventional MFU denominator) and 819 GB/s HBM.
+V5E_PEAK_FLOPS = 1.97e14
+V5E_HBM_BPS = 8.19e11
+
+
 def _bench(heavy: bool, n_cell: int, n_rec: int, reps: int = 3):
     import jax
 
@@ -66,10 +72,23 @@ def _bench(heavy: bool, n_cell: int, n_rec: int, reps: int = 3):
         dig = sum(jnp.sum(v) for v in outs.values()) + jnp.sum(s1.moist)
         return s1, outs, dig
 
-    fn = jax.jit(fwd)
+    # ONE executable for both the roofline accounting and the timed runs
+    # (holding a second compiled copy exhausted HBM at 32k cells). XLA's
+    # cost model counts each while-loop BODY once (trip counts are
+    # dynamic), so flops/bytes are LOWER bounds — good enough to establish
+    # the regime (see BASELINE.md "Roofline").
     args = (state, stack, params, extras["geom"], extras["zwt"],
             extras["lake"])
-    # compile + warmup
+    fn = jax.jit(fwd).lower(*args).compile()
+    flops = bytes_acc = 0.0
+    try:
+        ca = fn.cost_analysis()
+        d = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(d.get("flops", 0.0))
+        bytes_acc = float(d.get("bytes accessed", 0.0))
+    except Exception:
+        pass
+    # warmup
     s1, outs, dig = fn(*args)
     float(dig)
 
@@ -78,27 +97,33 @@ def _bench(heavy: bool, n_cell: int, n_rec: int, reps: int = 3):
         s1, outs, dig = fn(*args)
         float(dig)
     dt = (time.perf_counter() - t0) / reps
-    return n_cell * n_rec / dt
+    return {
+        "cs": n_cell * n_rec / dt,
+        "mfu": flops / dt / V5E_PEAK_FLOPS if flops else None,
+        "bandwidth_util": (bytes_acc / dt / V5E_HBM_BPS
+                           if bytes_acc else None),
+        "flops_per_s": flops / dt, "bytes_per_s": bytes_acc / dt,
+        "sec_per_call": dt,
+    }
 
 
 def _child(variant: str):
-    """Run one variant and print its throughput as the last stdout line."""
+    """Run one variant and print its result as the last stdout line."""
     if variant == "light":
-        v = _bench(heavy=False, n_cell=32768, n_rec=60)
+        r = _bench(heavy=False, n_cell=32768, n_rec=60)
     else:
-        # >= 2048 cells reproducibly crashes the axon TPU worker for the
-        # heavy program (round-4 bisect: full/noclose/noaffine variants die
-        # at 2048, run clean at 1024; QUICK_FLUX=TRUE survives 2048 — the
-        # FD-node loop nest at scale trips a runtime fault in the tunneled
-        # worker). The heavy path barely scales with cell count
-        # (iteration-latency-bound), so the 1024-cell number is
-        # representative.
-        v = _bench(heavy=True, n_cell=1024, n_rec=24, reps=2)
-    print("RESULT " + json.dumps({"value": v}), flush=True)
+        # Round 5: the round-4 worker fault at >= 2048 cells no longer
+        # reproduces (2048/4096/8192 all run clean after a runtime update);
+        # heavy now benches at 8192 cells. Measured scaling is FLAT in cell
+        # count (1652 @1024 -> 1738 @8192): the heavy program is
+        # throughput-bound on its sequential solver iterations, not
+        # latency-bound as round 4 assumed.
+        r = _bench(heavy=True, n_cell=8192, n_rec=12, reps=2)
+    print("RESULT " + json.dumps(r), flush=True)
 
 
 def _run_variant(variant: str, timeout_s: float):
-    """Spawn `python bench.py --variant X`; return (value|None, note)."""
+    """Spawn `python bench.py --variant X`; return (result|None, note)."""
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--variant", variant],
@@ -109,39 +134,54 @@ def _run_variant(variant: str, timeout_s: float):
     for line in reversed(proc.stdout.splitlines()):
         if line.startswith("RESULT "):
             try:
-                return json.loads(line[len("RESULT "):])["value"], "ok"
-            except (json.JSONDecodeError, KeyError):
+                return json.loads(line[len("RESULT "):]), "ok"
+            except json.JSONDecodeError:
                 break
     tail = (proc.stderr or proc.stdout or "").strip().splitlines()
     return None, ("rc=%d %s" % (proc.returncode, tail[-1] if tail else ""))[:300]
 
 
+def _util_fields(obj, r):
+    """mfu / bandwidth_util from cost_analysis (LOWER bounds: XLA counts
+    while-loop bodies once; see BASELINE.md Roofline)."""
+    if r.get("mfu") is not None:
+        obj["mfu"] = float(f"{r['mfu']:.3g}")
+    if r.get("bandwidth_util") is not None:
+        obj["bandwidth_util"] = float(f"{r['bandwidth_util']:.3g}")
+    for k in ("flops_per_s", "bytes_per_s"):
+        if r.get(k):
+            obj[k] = float(f"{r[k]:.4g}")
+
+
 def main():
     light, light_note = _run_variant("light", 2400.0)
-    heavy, heavy_note = _run_variant("heavy", 2400.0)
+    heavy, heavy_note = _run_variant("heavy", 3000.0)
 
     heavy_obj = {
         "metric": ("grid-cell-timesteps/s per chip (3-hourly substeps + "
                    "FROZEN_SOIL/IMPLICIT FD nodes + CLOSE_ENERGY + "
-                   "DIST_PRCP + BLOWING + LAKES)"),
+                   "DIST_PRCP + BLOWING + LAKES; 8192 cells)"),
         "unit": "cell-steps/s",
     }
     if heavy is not None:
-        heavy_obj["value"] = round(heavy, 1)
-        heavy_obj["vs_baseline"] = round(heavy / BASELINE_HEAVY, 2)
+        heavy_obj["value"] = round(heavy["cs"], 1)
+        heavy_obj["vs_baseline"] = round(heavy["cs"] / BASELINE_HEAVY, 2)
+        _util_fields(heavy_obj, heavy)
     else:
         heavy_obj["value"] = None
         heavy_obj["error"] = heavy_note
 
     out = {
         "metric": "grid-cell-timesteps/s per chip (full-energy+snow+glacier)",
-        "value": round(light, 1) if light is not None else None,
+        "value": round(light["cs"], 1) if light is not None else None,
         "unit": "cell-steps/s",
-        "vs_baseline": (round(light / BASELINE_LIGHT, 2)
+        "vs_baseline": (round(light["cs"] / BASELINE_LIGHT, 2)
                         if light is not None else None),
         "heavy": heavy_obj,
     }
-    if light is None:
+    if light is not None:
+        _util_fields(out, light)
+    else:
         out["error"] = light_note
     print(json.dumps(out))
     sys.exit(0)
