@@ -182,3 +182,32 @@ class TestOutvarPruning:
         for k in pruned:
             np.testing.assert_allclose(np.asarray(pruned[k]),
                                        np.asarray(full[k]), rtol=1e-6)
+
+
+class TestGlacierFluxComposition:
+    def test_glacier_lane_fluxes_exclude_soil_eb(self):
+        """Glacier lanes never run the soil EB in the reference: their
+        reported GRND_FLUX/LATENT/SENSIBLE come from the glacier slab EB
+        (solve_glacier.c:94) or the pack EB (solve_snow_glac.c:151) alone,
+        and deltaH/fusion stay 0 there (round-5 fix: bands GRND_FLUX mean
+        was biased 14.7 vs 9.4 W/m2 by the soil EB's terms). A pure-glacier
+        domain (every lane glacier, Cv=1) must therefore report
+        OUT_DELTAH == OUT_FUSION == 0 exactly."""
+        gp, domain, params, stack, state = build(
+            n_rec=10, glacier_id=99, full_energy=True)
+        import dataclasses
+        # make EVERY lane a glacier lane: weight only the glacier HRU
+        isg = np.asarray(params.is_glacier)
+        assert isg.any()
+        w = np.where(isg, 1.0, 0.0)
+        w = w / np.maximum(w.sum(-1, keepdims=True), 1e-9)
+        params2 = dataclasses.replace(
+            params, weight=jnp.asarray(w, jnp.float32))
+        final_state, outs = jax.jit(
+            lambda s, f: run(s, f, params2, gp))(state, stack)
+        np.testing.assert_allclose(np.asarray(outs["OUT_DELTAH"]), 0.0,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(outs["OUT_FUSION"]), 0.0,
+                                   atol=1e-6)
+        assert np.isfinite(np.asarray(outs["OUT_GRND_FLUX"])).all()
+        assert np.isfinite(np.asarray(outs["OUT_LATENT"])).all()

@@ -193,7 +193,13 @@ class GlobalParams:
 
     # ----- numerics (TPU-native knobs; not in the reference grammar) -----
     brent_maxiter: int = 60            # fixed iteration budget for batched Brent
-    soil_sweep_maxiter: int = 30       # explicit node-sweep budget (ref MAXIT=1000, tol 1e-2)
+    soil_sweep_maxiter: int = 10       # explicit node-sweep budget (ref
+    #   MAXIT=1000, tol 1e-2, then TFALLBACK-revert — frozen_soil.c:380,486).
+    #   Round-5 measurement: the frozen-scenario parity table is IDENTICAL
+    #   to 4 decimals at cap 10 vs 30 (lanes either converge in <10 sweeps
+    #   or run to the cap and revert exactly like the reference's fallback),
+    #   while the heavy bench runs ~2.5x faster — every lane pays the
+    #   max-lane sweep count on TPU, so the cap is the hot knob.
     # QUICK_FLUX FALSE + CLOSE_ENERGY: evaluate the surface-EB Brent of the
     # INTERMEDIATE Tcanopy passes on an affine (two-probe) model of the
     # node-profile response instead of re-running the Gauss-Seidel sweep per

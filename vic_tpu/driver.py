@@ -338,6 +338,16 @@ def run_simulation(gp: GlobalParams, domain: Optional[Domain] = None,
     agg = aggregate_outputs(outs, steps_per_out, alma=gp.alma_output,
                             out_dt_sec=gp.out_step * 3600.0)
 
+    if progress:
+        try:
+            stats = devs[0].memory_stats()
+            if stats and "peak_bytes_in_use" in stats:
+                print(f"  peak device memory: "
+                      f"{stats['peak_bytes_in_use'] / 1e9:.2f} GB",
+                      file=sys.stderr)
+        except Exception:
+            pass
+
     if write_output:
         write_outputs(gp, domain, timeaxis, agg, steps_per_out)
 

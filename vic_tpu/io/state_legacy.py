@@ -237,6 +237,15 @@ def write_state_legacy(path: str, state: ModelState, gp, domain, date=None,
     zsum = np.zeros((n_cell, nn)) if geom is None else \
         np.broadcast_to(np.asarray(geom.zsum), (n_cell, nn))
 
+    # lake liquid depth for the lake state block (write_model_state.c writes
+    # lake_var.ldepth = depth of the LIQUID volume, lakes.eb.c get_depth)
+    lake_ldepth = None
+    if gp.lakes and lake_params is not None:
+        from ..physics.lake import depth_from_volume
+        liq = np.maximum(np.asarray(s["lake_volume"])
+                         - np.asarray(s["lake_ice_we"]), 0.0)
+        lake_ldepth = np.asarray(depth_from_volume(lake_params, liq))
+
     for ci in range(n_cell):
         hrus = [h for h in range(hru.mask.shape[1]) if hru.mask[ci, h]]
         w.begin_cell_record()
@@ -303,8 +312,7 @@ def write_state_legacy(path: str, state: ModelState, gp, domain, date=None,
                    0.0, 0.0, 0.0)       # density coldcontent snow_canopy
             w.dbls(*s["node_temp"][ci, 0])
             w.ints(n_lnode)
-            depth = 0.0 if lake_params is None else float(
-                np.asarray(lake_params.basin_depth)[ci])
+            depth = 0.0 if lake_ldepth is None else float(lake_ldepth[ci])
             w.dbls(depth / max(n_lnode, 1), 0.0, depth)
             w.dbls(*([0.0] * n_lnode))          # surface areas
             w.dbls(0.0, s["lake_volume"][ci])

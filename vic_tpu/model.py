@@ -531,7 +531,7 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                 ra=aero.resist.glacier, z_ref=aero.ref_height.glacier,
                 roughness=aero.roughness.glacier,
                 old_tsurf=state.glac_surf_temp,
-                glac_surf_we=B(p.glac_surf_we), dt_sec=dt_sec,
+                glac_surf_thick=B(p.glac_surf_thick), dt_sec=dt_sec,
                 max_iter=gp.brent_maxiter,
                 active_mask=jnp.logical_and(
                     jnp.logical_and(glacier, ~snow_present), p.mask))
@@ -887,9 +887,22 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
         # 77-90 assembles as over+under sums — with the F=1 closure quirk
         # dropping the understory net LW; non-iterated lanes get the
         # understory values, surface_fluxes.c:618-626)
-        sens_under = eb.sensible_heat + sm.terms.sensible * cov_w
-        lat_under = eb.latent_heat + sm.terms.latent * cov_w
-        latsub_under = eb.latent_heat_sub + sm.terms.latent_sub * cov_w
+        # glacier lanes never run the soil EB: their reported energy.* come
+        # from the glacier slab EB (solve_glacier.c:94) or the pack EB on
+        # snow-covered glacier (solve_snow_glac.c:151) alone — no soil term,
+        # no coverage blend (round-5 fix: the soil EB's fluxes were added
+        # on glacier lanes, biasing bands LATENT/SENSIBLE means +16-30%)
+        sens_under = jnp.where(
+            glacier, jnp.where(on_ice, glac.terms.sensible,
+                               sm.terms.sensible),
+            eb.sensible_heat + sm.terms.sensible * cov_w)
+        lat_under = jnp.where(
+            glacier, jnp.where(on_ice, glac.terms.latent, sm.terms.latent),
+            eb.latent_heat + sm.terms.latent * cov_w)
+        latsub_under = jnp.where(
+            glacier, jnp.where(on_ice, glac.terms.latent_sub,
+                               sm.terms.latent_sub),
+            eb.latent_heat_sub + sm.terms.latent_sub * cov_w)
         ns_under = net_short_bare + net_short_snow * coverage
         nl_under = eb.net_long_bare + sm.terms.net_long * coverage
         if gp.close_energy and full_energy and atmos_sensible is not None:
@@ -1504,9 +1517,18 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             "OUT_LATENT": -agg(lat_rep),
             "OUT_LATENT_SUB": -agg(latsub_rep),
             "OUT_SENSIBLE": -agg(sens_rep),
-            "OUT_GRND_FLUX": -agg(eb.grnd_flux),
-            "OUT_DELTAH": -agg(eb.delta_h),
-            "OUT_FUSION": -agg(eb.fusion),
+            # glacier lanes never run the soil EB in the reference: their
+            # energy.grnd_flux is the GLACIER slab conduction
+            # (solve_glacier.c:94 <- glacier_melt GroundFlux) or, under a
+            # pack, the PACK EB's GroundFlux (solve_snow_glac.c:151);
+            # deltaH/fusion stay 0 there (round-5 fix: the soil EB's terms
+            # were aggregated on glacier lanes, biasing bands GRND_FLUX
+            # mean 14.7 vs 9.4 W/m2)
+            "OUT_GRND_FLUX": -agg(jnp.where(
+                on_ice, glac.terms.grnd_flux,
+                jnp.where(glacier, sm.terms.grnd_flux, eb.grnd_flux))),
+            "OUT_DELTAH": -agg(jnp.where(glacier, 0.0, eb.delta_h)),
+            "OUT_FUSION": -agg(jnp.where(glacier, 0.0, eb.fusion)),
             # OUT_SNOW_FLUX reports the soil EB's pack-conduction term
             # (store_snow_flux += soil_energy.snow_flux*(cov+dcov),
             # surface_fluxes.c:810-812)
@@ -1653,10 +1675,8 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
                                                        * 1000.0)
             outputs["OUT_SNOW_COVER_BAND"] = band_agg(coverage)
             outputs["OUT_ALBEDO_BAND"] = band_agg(albedo_under)
-            outputs["OUT_LATENT_BAND"] = -band_agg(
-                eb.latent_heat + sm.terms.latent * cov_w)
-            outputs["OUT_SENSIBLE_BAND"] = -band_agg(
-                eb.sensible_heat + sm.terms.sensible * cov_w)
+            outputs["OUT_LATENT_BAND"] = -band_agg(lat_under)
+            outputs["OUT_SENSIBLE_BAND"] = -band_agg(sens_under)
             outputs["OUT_NET_SHORT_BAND"] = band_agg(
                 net_short_bare + net_short_snow * coverage)
             outputs["OUT_NET_LONG_BAND"] = band_agg(
@@ -1673,7 +1693,9 @@ def make_step(params: DeviceParams, gp, geom=None, zwt_curves=None,
             outputs["OUT_ADV_SENS_BAND"] = -band_agg(
                 sm.terms.advected_sensible * cov_w)
             outputs["OUT_DELTACC_BAND"] = band_agg(dcc_pack * cov_w)
-            outputs["OUT_GRND_FLUX_BAND"] = -band_agg(eb.grnd_flux)
+            outputs["OUT_GRND_FLUX_BAND"] = -band_agg(jnp.where(
+                on_ice, glac.terms.grnd_flux,
+                jnp.where(glacier, sm.terms.grnd_flux, eb.grnd_flux)))
             outputs["OUT_IN_LONG_BAND"] = band_agg(lw_in)
             outputs["OUT_LATENT_SUB_BAND"] = -band_agg(
                 eb.latent_heat_sub + sm.terms.latent_sub * cov_w)

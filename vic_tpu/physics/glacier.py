@@ -96,15 +96,23 @@ class GlacierAblationResult(NamedTuple):
 
 def glacier_ablation(*, tair, net_short, longwave_in, wind, vp_air, vpd,
                      air_dens, pressure, le, rain_mm, ra, z_ref, roughness,
-                     old_tsurf, glac_surf_we, dt_sec,
+                     old_tsurf, glac_surf_thick, dt_sec,
                      max_iter: int = 30, active_mask=None) -> GlacierAblationResult:
-    """Bare-ice ablation for glacier HRU lanes (glacier_melt.c:65-205)."""
+    """Bare-ice ablation for glacier HRU lanes (glacier_melt.c:65-205).
+
+    glac_surf_thick: the surface-layer THICKNESS (mm) — the reference
+    passes soil->GLAC_SURF_THICK as the EB's IceDepth (glacier_melt.c:123)
+    and uses it for the cold content too (:200); GLAC_SURF_WE is the
+    separate mass bookkeeping term. (Round 5: previously the WE was used
+    for both — identical in the synthetic/oracle soils where both are
+    200 mm, an 8% ground-flux scale error with the PCIC defaults
+    thick=100/we=91.7.)"""
     rain_m = rain_mm / 1000.0
     kwargs = dict(dt=dt_sec, ra=ra, z_ref=z_ref, roughness=roughness,
                   air_dens=air_dens, vp_air=vp_air, longwave_in=longwave_in,
                   lv=le, pressure=pressure, rain_m=rain_m,
                   net_short=net_short, vpd=vpd, wind=wind,
-                  old_tsurf=old_tsurf, ice_depth_mm=glac_surf_we, tair=tair)
+                  old_tsurf=old_tsurf, ice_depth_mm=glac_surf_thick, tair=tair)
 
     t0 = jnp.zeros_like(tair)
     terms0 = glacier_energy_terms(t0, **kwargs)
@@ -128,7 +136,7 @@ def glacier_ablation(*, tair, net_short, longwave_in, wind, vp_air, vpd,
     terms = glacier_energy_terms(surf_temp, **kwargs)
     cold_content = jnp.where(
         melt_cond, 0.0,
-        c.CH_ICE * surf_temp * glac_surf_we / 1000.0)
+        c.CH_ICE * surf_temp * glac_surf_thick / 1000.0)
 
     return GlacierAblationResult(
         melt_mm=melt_mm, surf_temp=surf_temp, cold_content=cold_content,
