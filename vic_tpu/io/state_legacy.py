@@ -133,7 +133,17 @@ class _AsciiReader:
         return out
 
     def ints(self, n=1):
-        return [int(t) for t in self._take(n)]
+        # the reference prints some integer-typed state (e.g. the lake
+        # snow's last_snow) through a %f format, so "-1.000000e+00" must
+        # parse as -1; destabilized C runs can even emit "nan" there
+        # (observed in state files from the frozen-soil runaway) — map
+        # non-finite to the reference's INVALID_INT sentinel
+        import math
+        out = []
+        for t in self._take(n):
+            v = float(t)
+            out.append(int(v) if math.isfinite(v) else -(2 ** 31 - 1))
+        return out
 
     def dbls(self, n=1):
         return [float(t) for t in self._take(n)]
