@@ -61,3 +61,30 @@ def test_write_and_merge_roundtrip(tmp_path):
             am = fm.get(v, [0] * len(dm), dm, np.float64)
             ar = fr.get(v, [0] * len(dr), dr, np.float64)
             np.testing.assert_allclose(am, ar, rtol=1e-6)
+
+
+def test_slice_cell_tree_selects_only_cell_axes():
+    """slice_cell_tree applies [start:stop) exactly to leaves whose `axis`
+    dim equals n_cell (the same leaf rule as pad/unpad), leaving
+    non-cell-shaped leaves untouched — the driver's cell-chunking relies
+    on this to slice params/state/forcing pytrees wholesale."""
+    import numpy as np
+    from vic_tpu.parallel import slice_cell_tree
+
+    n_cell = 7
+    tree = {
+        "per_cell": np.arange(n_cell * 3).reshape(n_cell, 3),
+        "per_cell_deep": np.arange(n_cell * 2 * 4).reshape(n_cell, 2, 4),
+        "not_cell": np.arange(5),             # axis-0 != n_cell: untouched
+        "scalar": np.float32(3.0),
+        "rec_major": np.arange(6 * n_cell).reshape(6, n_cell),
+    }
+    out = slice_cell_tree(tree, 2, 5, n_cell)
+    assert out["per_cell"].shape == (3, 3)
+    np.testing.assert_array_equal(out["per_cell"], tree["per_cell"][2:5])
+    assert out["per_cell_deep"].shape == (3, 2, 4)
+    assert out["not_cell"].shape == (5,)
+    assert out["scalar"] == tree["scalar"]
+    # axis=1 slicing for [rec, cell] forcing arrays
+    out2 = slice_cell_tree({"f": tree["rec_major"]}, 2, 5, n_cell, axis=1)
+    np.testing.assert_array_equal(out2["f"], tree["rec_major"][:, 2:5])
